@@ -1,0 +1,164 @@
+"""Pinned CDC semantics, shared verbatim by the engine and the oracle.
+
+Each rule is the Spark-first re-expression of a reference behavior
+(SURVEY.md §2.6; file:line cites are relative to /root/reference):
+
+* **LWW + rectification** (V3/V5/V6, SingleDimensionsRowPack.isRecordDirty:43-58,
+  BasicPojoConsumer.rectifiedVersion:220-233): applying events per key in
+  seq order with stored version ``v``:
+    - new_version >  v                      -> apply, v = new_version
+    - v - new_version <= RECTIFY_BOUND      -> apply, v = v + RECTIFY_TICK
+      (binlog-transport-delay tolerance: the *newer binlog event* wins
+      despite the regressed timestamp, stamped one tick above stored)
+    - otherwise                             -> drop as dirty
+* **No-op suppression** (P5, DefaultTable.columnChange:60-74): an UPDATE
+  whose before-image equals its after-image on every focused (content)
+  column is dropped.
+* **UPDATE invariant** (DefaultTable.validateTable:78-84): UPDATE without a
+  before-image is invalid and dropped (counted).
+* **Missing-target UPDATE** (V7, BasicPojoConsumer.java:100-128): an UPDATE
+  for an absent key reconstructs the row from the after-image (MERGE
+  WHEN NOT MATCHED THEN INSERT) and counts ``n_missing``.
+* **ADD stickiness** (V4, SingleDimensionsRowPack.isNotDirtyAndPut:83-96):
+  insert + updates coalesced within one batch surface as a single INSERT.
+* **DELETE policy** (V8, BasicRMListener.java:228-230): the reference
+  ignores deletes; policy is configurable ('ignore' matches the reference
+  final state, 'delete' removes the row).
+* **Partial images under schema evolution**: a column absent from the
+  event's schema_version keeps the stored value; present columns overwrite
+  (field-level merge, TisSolrInputDocument.merge2DocumentFields:157).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+RECTIFY_BOUND_S = 1800  # 30 min (BasicPojoConsumer.java:220-233)
+RECTIFY_TICK_S = 1
+
+# Content columns participate in no-op detection; the version column does not.
+CONTENT_FIELDS = ["html", "lang", "fetch_status", "score"]
+# First schema version in which each page field exists (FIXTURES.md F3).
+FIELD_SINCE = {"url": 1, "warc_ts": 1, "html": 1, "lang": 1, "fetch_status": 2, "score": 4}
+
+COUNTER_NAMES = [
+    "n_events",
+    "n_applied",
+    "n_noop",
+    "n_invalid",
+    "n_dirty",
+    "n_rectified",
+    "n_missing",
+    "n_deleted",
+    "n_del_ignored",
+    "n_del_missing",
+    "n_sticky_insert",
+]
+
+
+@dataclass
+class CdcConfig:
+    key_col: str = "url"
+    version_col: str = "warc_ts"
+    delete_policy: str = "ignore"  # 'ignore' (reference default, V8) | 'delete'
+    rectify_bound_s: int = RECTIFY_BOUND_S
+    rectify_tick_s: int = RECTIFY_TICK_S
+    upsert_missing: bool = True  # V7 reconstruct-on-missing
+    disorder_window: int = 1000  # seq-watermark lag (reference 20 s window, V2)
+    table_focus: tuple[str, ...] = ("pages",)  # P6
+    num_buckets: int = 16
+    fold_parallelism: int = 128  # hash groups for the per-key fold
+    counters: list[str] = field(default_factory=lambda: list(COUNTER_NAMES))
+
+
+def fold_key_events(
+    stored: dict | None,
+    events: list[dict],
+    cfg: CdcConfig,
+) -> tuple[dict | None, str, dict]:
+    """Sequentially fold one key's events (already seq-sorted) over the
+    stored row.  Returns (final_row | None, action, counters) where action
+    is 'U' (upsert), 'D' (delete) or 'N' (no change).
+
+    ``stored`` / event images are dicts of page fields; versions are
+    epoch-microsecond ints (tz handled by callers).  This single function is
+    the semantic core — the Spark fold and the pure-Python oracle both call
+    it, so they cannot drift apart.
+    """
+    bound_us = cfg.rectify_bound_s * 1_000_000
+    tick_us = cfg.rectify_tick_s * 1_000_000
+    c = dict.fromkeys(COUNTER_NAMES, 0)
+    existed = stored is not None
+    exists = existed
+    row = dict(stored) if stored else None
+    version = row["warc_ts"] if row else None
+    applied_any = False
+    first_applied_was_insert = False
+
+    for e in events:
+        c["n_events"] += 1
+        op = e["op"]
+        if op in ("I", "U"):
+            if op == "U" and e.get("invalid"):
+                c["n_invalid"] += 1
+                continue
+            if op == "U" and e.get("noop"):
+                c["n_noop"] += 1
+                continue
+            after = e["after"]
+            sv = e["schema_version"]
+            v_new = after["warc_ts"]
+            if not exists:
+                if op == "U":
+                    if not cfg.upsert_missing:
+                        c["n_missing"] += 1
+                        continue
+                    c["n_missing"] += 1
+                row = {"url": e["url"], "warc_ts": v_new}
+                for f in CONTENT_FIELDS:
+                    row[f] = after[f] if FIELD_SINCE[f] <= sv else None
+                version = v_new
+                exists = True
+                if not applied_any:
+                    first_applied_was_insert = True
+                applied_any = True
+                c["n_applied"] += 1
+            else:
+                if v_new > version:
+                    version = v_new
+                elif version - v_new <= bound_us:
+                    version = version + tick_us
+                    c["n_rectified"] += 1
+                else:
+                    c["n_dirty"] += 1
+                    continue
+                for f in CONTENT_FIELDS:
+                    if FIELD_SINCE[f] <= sv:
+                        row[f] = after[f]
+                row["warc_ts"] = version
+                applied_any = True
+                c["n_applied"] += 1
+        elif op == "D":
+            if cfg.delete_policy == "ignore":
+                c["n_del_ignored"] += 1
+                continue
+            if exists:
+                exists = False
+                row = None
+                version = None
+                applied_any = True
+                c["n_deleted"] += 1
+            else:
+                c["n_del_missing"] += 1
+        # DDL events never reach the fold (handled by the registry).
+
+    if exists:
+        if not applied_any:
+            return row, "N", c
+        if not existed and first_applied_was_insert:
+            c["n_sticky_insert"] += 1
+        row["warc_ts"] = version
+        return row, "U", c
+    if existed:
+        return None, "D", c
+    return None, "N", c

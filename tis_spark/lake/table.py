@@ -1,0 +1,346 @@
+"""LakeTable — a from-scratch snapshot-isolated table format on Parquet.
+
+The execution environment ships no Iceberg/Delta runtime, so the engine
+provides its own minimal ACID layer with the properties the CDC sink needs
+(modeled on the reference's pt-partition + success-token protocol,
+SURVEY.md §1.6 / §2 K2,C10 — MultiThreadDataProvider.java:288-330,
+SingleTableDump.java:83,106-128 — generalized to snapshot isolation):
+
+* **Atomic commits**: a snapshot is one JSON file in ``_log/``; publishing
+  is ``os.link`` (create-if-absent) — readers see either the old or the new
+  snapshot, never a partial state.  Equivalent to the reference's empty
+  ``success`` token, but versioned.
+* **Bucketed layout**: data files are grouped by ``bucket =
+  pmod(xxhash64(key), N)`` (reference: 16-way group fan-out + pmod shard
+  column, ITableDumpConstant.RAND_GROUP_NUMBER / SqlRewriter.java:94-128).
+  MERGE rewrites only touched buckets (copy-on-write) and prunes scans.
+* **Epoch fencing**: each commit records ``epoch_id`` in its summary; a
+  re-delivered micro-batch is detected before any write (exactly-once,
+  SURVEY §4 "Exactly-once").
+* **Schema evolution**: snapshots carry a versioned schema registry
+  (added columns, int->long / float->double widening per the reference's
+  lattice, ColumnMetaData.java:207-239); files remember the schema version
+  they were written under and reads harmonize by cast+union.
+* **Time travel**: any snapshot id can be read back (reference: pt-pinned
+  joins, SqlRewriter pt injection — SURVEY §2 J2/K2).
+
+At cluster scale the log directory lives on a shared store; ``os.link``
+maps to the store's create-if-absent primitive (HDFS create w/o overwrite,
+S3 conditional put) — single-writer per table is assumed, matching the
+reference's per-collection ExecuteLock (ExecuteLock.java:33-117).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this snapshot id first."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    schema_version: int
+    schemas: dict[str, str]  # schema_version -> StructType.json()
+    files: dict[str, list[dict]]  # bucket -> [{path, schema_version, rows}]
+    num_buckets: int
+    key_cols: list[str]
+    version_col: str
+    summary: dict
+    created_ms: int
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schemas[str(self.schema_version)]))
+
+    def schema_at(self, version: int) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schemas[str(version)]))
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "schema_version": self.schema_version,
+                "schemas": self.schemas,
+                "files": self.files,
+                "num_buckets": self.num_buckets,
+                "key_cols": self.key_cols,
+                "version_col": self.version_col,
+                "summary": self.summary,
+                "created_ms": self.created_ms,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(**d)
+
+
+def _widen_cast_needed(src: T.DataType, dst: T.DataType) -> bool:
+    return src != dst
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------- lifecycle
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        version_col: str,
+        num_buckets: int = 16,
+        summary: dict | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        t = LakeTable(spark, path)
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            schema_version=1,
+            schemas={"1": schema.json()},
+            files={},
+            num_buckets=num_buckets,
+            key_cols=key_cols,
+            version_col=version_col,
+            summary=summary or {},
+            created_ms=int(time.time() * 1000),
+        )
+        t._publish(snap)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LakeTable":
+        if not os.path.isdir(os.path.join(path, LOG_DIR)):
+            raise FileNotFoundError(f"not a lake table: {path}")
+        return LakeTable(spark, path)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        log = os.path.join(path, LOG_DIR)
+        return os.path.isdir(log) and any(f.endswith(".json") for f in os.listdir(log))
+
+    # ------------------------------------------------------------- snapshots
+
+    def _log_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.path, LOG_DIR, f"{snapshot_id:010d}.json")
+
+    def current_snapshot(self) -> Snapshot:
+        log = os.path.join(self.path, LOG_DIR)
+        ids = sorted(int(f[:-5]) for f in os.listdir(log) if f.endswith(".json"))
+        if not ids:
+            raise FileNotFoundError(f"empty log at {log}")
+        return self.snapshot(ids[-1])
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        with open(self._log_path(snapshot_id)) as f:
+            return Snapshot.from_json(f.read())
+
+    def history(self) -> list[Snapshot]:
+        log = os.path.join(self.path, LOG_DIR)
+        ids = sorted(int(f[:-5]) for f in os.listdir(log) if f.endswith(".json"))
+        return [self.snapshot(i) for i in ids]
+
+    def _publish(self, snap: Snapshot) -> None:
+        """Atomic create-if-absent publish (optimistic concurrency)."""
+        tmp = os.path.join(self.path, LOG_DIR, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._log_path(snap.snapshot_id))
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot {snap.snapshot_id} already published") from e
+        finally:
+            os.unlink(tmp)
+
+    def last_epoch_id(self) -> int | None:
+        """Highest committed epoch id — the exactly-once fence."""
+        for snap in reversed(self.history()):
+            if "epoch_id" in snap.summary:
+                return int(snap.summary["epoch_id"])
+        return None
+
+    # ------------------------------------------------------------- expressions
+
+    def bucket_expr(self, key_col: str | None = None) -> F.Column:
+        snap = self.current_snapshot()
+        key = key_col or snap.key_cols[0]
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(snap.num_buckets)).cast("int")
+
+    # ------------------------------------------------------------- read
+
+    def read(self, snapshot_id: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Read a snapshot, harmonizing files written under older schema
+        versions (missing columns -> null; widened types -> cast)."""
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        cur = snap.schema
+        want = None if buckets is None else {str(b) for b in buckets}
+        by_ver: dict[int, list[str]] = {}
+        for bucket, entries in snap.files.items():
+            if want is not None and bucket not in want:
+                continue
+            for e in entries:
+                by_ver.setdefault(int(e["schema_version"]), []).append(e["path"])
+        parts: list[DataFrame] = []
+        for ver, paths in sorted(by_ver.items()):
+            hist = snap.schema_at(ver)
+            df = self.spark.read.schema(hist).parquet(*paths)
+            hist_names = {f.name: f.dataType for f in hist.fields}
+            cols = []
+            for fld in cur.fields:
+                if fld.name not in hist_names:
+                    cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                elif _widen_cast_needed(hist_names[fld.name], fld.dataType):
+                    cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                else:
+                    cols.append(F.col(fld.name))
+            parts.append(df.select(*cols))
+        if not parts:
+            return self.spark.createDataFrame([], cur)
+        return reduce(DataFrame.unionByName, parts)
+
+    # ------------------------------------------------------------- write
+
+    def write_data_files(self, df: DataFrame, bucket_col: str = "_bucket") -> dict[str, list[dict]]:
+        """Write df (must carry an int bucket column) as parquet partitioned
+        by bucket under a fresh data subdir; returns bucket -> file entries.
+
+        Rows are stored in the table's *current* schema order, without the
+        bucket column (it is derivable from the key).
+        """
+        snap = self.current_snapshot()
+        cur = snap.schema
+        sub = f"snap-{uuid.uuid4().hex}"
+        out = os.path.join(self.path, DATA_DIR, sub)
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
+        (df.select(F.col(bucket_col), *cols).write.partitionBy(bucket_col).mode("overwrite").parquet(out))
+        files: dict[str, list[dict]] = {}
+        for entry in sorted(os.listdir(out)):
+            if not entry.startswith(f"{bucket_col}="):
+                continue
+            b = entry.split("=", 1)[1]
+            d = os.path.join(out, entry)
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".parquet"):
+                    files.setdefault(b, []).append(
+                        {"path": os.path.join(d, fn), "schema_version": snap.schema_version}
+                    )
+        return files
+
+    def commit(
+        self,
+        new_files_by_bucket: dict[str, list[dict]],
+        replaced_buckets: set[str] | None = None,
+        summary: dict | None = None,
+        expected_snapshot_id: int | None = None,
+    ) -> Snapshot:
+        """Publish a new snapshot: replaced buckets take the new file lists,
+        all other buckets carry over from the parent (copy-on-write)."""
+        parent = self.current_snapshot()
+        if expected_snapshot_id is not None and parent.snapshot_id != expected_snapshot_id:
+            raise CommitConflict(
+                f"expected parent {expected_snapshot_id}, found {parent.snapshot_id}"
+            )
+        replaced = replaced_buckets if replaced_buckets is not None else set(new_files_by_bucket)
+        files = {b: list(v) for b, v in parent.files.items() if b not in replaced}
+        for b, v in new_files_by_bucket.items():
+            files[b] = list(v)
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            schema_version=parent.schema_version,
+            schemas=parent.schemas,
+            files=files,
+            num_buckets=parent.num_buckets,
+            key_cols=parent.key_cols,
+            version_col=parent.version_col,
+            summary=summary or {},
+            created_ms=int(time.time() * 1000),
+        )
+        self._publish(snap)
+        return snap
+
+    # ------------------------------------------------------------- evolution
+
+    def evolve_schema(self, new_schema: T.StructType, summary: dict | None = None) -> Snapshot:
+        """Commit a schema change (add column / widen type). Existing data
+        files are untouched; reads harmonize (cast/null-fill) lazily.
+
+        Mirrors the reference's versioned schema snapshots
+        (SchemaAction.java:330,967-1029 — every edit creates a new numbered
+        snapshot) mapped onto table metadata instead of a console DB.
+        """
+        parent = self.current_snapshot()
+        old = parent.schema
+        _validate_evolution(old, new_schema)
+        ver = parent.schema_version + 1
+        schemas = dict(parent.schemas)
+        schemas[str(ver)] = new_schema.json()
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            schema_version=ver,
+            schemas=schemas,
+            files=parent.files,
+            num_buckets=parent.num_buckets,
+            key_cols=parent.key_cols,
+            version_col=parent.version_col,
+            summary=summary or {},
+            created_ms=int(time.time() * 1000),
+        )
+        self._publish(snap)
+        return snap
+
+
+# Widening lattice per the reference (ColumnMetaData.java:207-239):
+# tinyint/smallint -> int -> long; float -> double; decimal -> double.
+_WIDEN_OK: set[tuple[str, str]] = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _validate_evolution(old: T.StructType, new: T.StructType) -> None:
+    old_f = {f.name: f.dataType for f in old.fields}
+    for f in new.fields:
+        if f.name not in old_f:
+            continue  # added columns are always fine
+        src, dst = old_f[f.name], f.dataType
+        if src == dst:
+            continue
+        if (src.typeName(), dst.typeName()) not in _WIDEN_OK:
+            raise ValueError(f"illegal type change for {f.name}: {src} -> {dst}")
+    dropped = set(old_f) - {f.name for f in new.fields}
+    if dropped:
+        raise ValueError(f"dropping columns not supported: {dropped}")
