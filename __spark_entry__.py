@@ -1,38 +1,78 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship wide-row build (the reference's core product —
+  a denormalized wide table, SURVEY.md §0) on sf0.001.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2 plus
+  the training-data-pipeline operator set (dedup / similarity / text /
+  multimodal), registered in tis_spark.operators.
+- ``oracle_sql()``: DuckDB-dialect oracles for every SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tis_spark.operators import ORACLES, REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the wide denormalized per-order row (reference full
+    -build JOIN phase) — orders x customer x lineitem aggregates."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_agg = lineitem.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(li_agg, orders.o_orderkey == li_agg.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "c_name",
+            "c_mktsegment",
+            "revenue",
+            "n_lines",
+            "last_ship",
+        )
+    )
+
+
+def _cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-SQL-expressible flagship operator: full CDC replay (watermark
+    reorder, LWW+rectification, schema evolution, exactly-once commits)
+    of a deterministic generated binlog; returns the final table state.
+    Correctness vs the sequential oracle is asserted in tests/."""
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.fixtures.gen import gen_page_changes
+
+    table_dir = tempfile.mkdtemp(prefix="tis-entry-cdc-")
+    changes = gen_page_changes(spark, 800, seed=42, epoch_size=400)
+    ingest = CdcIngest(spark, table_dir, CdcConfig(fold_parallelism=16))
+    ingest.replay(changes, epoch_size=400)
+    return ingest.final_state().select(
+        "url", F.unix_micros("warc_ts").alias("warc_ts_us"), "text", "lang"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(REGISTRY)
+    q["cdc_replay_final_state"] = _cdc_replay_final_state
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

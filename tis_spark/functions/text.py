@@ -41,12 +41,15 @@ _LANG_MARKERS = {
 def lang_id_expr(text: Column) -> Column:
     """Heuristic language ID: argmax of stopword hit-counts, 'und' if none."""
     toks = F.split(F.lower(text), r"[^\p{L}]+")
+
+    def hits_for(markers):
+        # single-param lambda only: a second param would be bound to the
+        # element-index argument of the higher-order filter()
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
     scores = []
     for lang, markers in _LANG_MARKERS.items():
-        hits = sum(
-            (F.size(F.filter(toks, lambda t, m=m: t == F.lit(m))) for m in markers),
-            start=F.lit(0),
-        )
+        hits = hits_for(markers)
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,481 @@
+"""Training-data-pipeline operators: deduplication, similarity search,
+text analysis, multimodal plumbing (first-class components per the build
+contract; exercised over the driver's documents/embeddings tables).
+
+Cross-engine determinism strategy: every hash used in an oracle-checked
+query is md5 (identical in Spark and DuckDB); minhash minima are *string*
+minima over md5 hex, so both engines agree bit-for-bit.  Floating-point
+outputs are computed in float64 with identical association order and
+rounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tis_spark.operators import load, query
+
+# ---------------------------------------------------------------- dedup
+
+N_MINHASH = 8  # 4 bands x 2 rows
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique_texts
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        )
+    )
+
+
+_MINHASH_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+mh AS (
+  SELECT doc_id, {minhash_cols}
+  FROM dt GROUP BY doc_id
+),
+bands AS (
+  {band_union}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band_idx) AS n_bands
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT n_bands, count(*) AS n_candidate_pairs FROM pairs GROUP BY n_bands
+""".format(
+    minhash_cols=", ".join(f"min(md5('{i}:' || tok)) AS h{i}" for i in range(N_MINHASH)),
+    band_union="\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_val FROM mh"
+        for b in range(N_MINHASH // 2)
+    ),
+)
+
+
+@query("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: shingle(token)->minhash->band->
+    bucket-join.  md5-string minima make the signature engine-portable.
+    At scale the band join is a shuffle on band_val (small signatures),
+    never on document text."""
+    dt = _tokens(load(spark, sf_dir, "documents"))
+    mh = dt.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), "tok"))).alias(f"h{i}") for i in range(N_MINHASH)]
+    )
+    bands = None
+    for b in range(N_MINHASH // 2):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band_idx").alias("n_bands"))
+    )
+    return pairs.groupBy("n_bands").agg(F.count("*").alias("n_candidate_pairs"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT round(i * 1.0 / (sa.n + sb.n - i), 1) AS jac_bucket, count(*) AS n_pairs
+    FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+    GROUP BY 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard similarity histogram over all candidate pairs
+    (pairs sharing >=1 token).  The inverted-index join (dt self-join on
+    tok) is the scalable formulation: shuffle on token, not O(n^2) docs."""
+    dt = _tokens(load(spark, sf_dir, "documents"))
+    sz = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    jac = (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .select(
+            F.round(F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 1).alias("jac_bucket")
+        )
+    )
+    return jac.groupBy("jac_bucket").agg(F.count("*").alias("n_pairs"))
+
+
+_SIMHASH_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+nib AS (
+  SELECT doc_id, tok, p.p, instr('0123456789abcdef', substr(md5(tok), p.p + 1, 1)) - 1 AS v
+  FROM dt, (SELECT unnest(range(0, 16)) AS p) p
+),
+bits AS (
+  SELECT doc_id, p, j.j,
+         sum(CASE WHEN CAST(floor(v / power(2, j.j)) AS INTEGER) % 2 = 1 THEN 1 ELSE -1 END) AS w
+  FROM nib, (SELECT unnest(range(0, 4)) AS j) j
+  GROUP BY doc_id, p, j.j
+)
+SELECT doc_id,
+       string_agg(CASE WHEN w > 0 THEN '1' ELSE '0' END, '' ORDER BY p, j) AS simhash64
+FROM bits GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from md5 nibbles (portable bit
+    arithmetic: instr-based hex decode, floor/power bit extraction)."""
+    dt = _tokens(load(spark, sf_dir, "documents"))
+    nib = dt.crossJoin(spark.range(0, 16).select(F.col("id").cast("int").alias("p"))).select(
+        "doc_id",
+        "p",
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.expr("substr(md5(tok), p + 1, 1)"),
+            )
+            - 1
+        ).alias("v"),
+    )
+    bits = (
+        nib.crossJoin(spark.range(0, 4).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "doc_id",
+            "p",
+            "j",
+            F.when(F.expr("CAST(floor(v / power(2, j)) AS INT) % 2") == 1, 1).otherwise(-1).alias("s"),
+        )
+        .groupBy("doc_id", "p", "j")
+        .agg(F.sum("s").alias("w"))
+    )
+    return bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("p", "j", F.when(F.col("w") > 0, "1").otherwise("0").alias("b")))
+                ),
+                lambda x: x["b"],
+            ),
+            "",
+        ).alias("simhash64")
+    )
+
+
+# ---------------------------------------------------------------- similarity
+
+_COS_EXPR = """
+round(
+  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+"""
+
+
+def _cos_col(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return F.round(dot / (na * nb), 4)
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(list_dot_product(b.embedding::DOUBLE[], q.qe::DOUBLE[])
+                 / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos_sim
+    FROM embeddings b, q
+    WHERE b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector — the ANN
+    baseline.  At scale: broadcast the query set, scan once, `TopK` via
+    orderBy+limit (Catalyst turns it into TakeOrderedAndProject)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", _cos_col("embedding", "qe").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "ann_ivf_blocked",
+    f"""
+    SELECT a.label, count(*) AS n_pairs, max({_COS_EXPR}) AS max_cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+)
+def ann_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style blocked similarity: pairs are only compared within a
+    coarse partition (label = the inverted-list id), the scale path that
+    avoids the O(n^2) cross join."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.label").alias("label"), _cos_col("a.embedding", "b.embedding").alias("cos"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_pairs"), F.max("cos").alias("max_cos"))
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    """
+    SELECT concat(
+             CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+             CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket,
+           count(*) AS n
+    FROM embeddings GROUP BY 1
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing (hyperplane LSH with axis-aligned planes):
+    the bucket histogram that drives the bucketed ANN join at scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 9)
+        ]
+    ).alias("bucket")
+    return emb.select(bucket).groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------- text analysis
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+      round((
+        least(length(text) / 500.0, 1.0)
+        + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10.0 / length(text), 1.0))
+        + (CASE WHEN length(text) * 1.0 / len(string_split_regex(trim(text), '\\s+')) BETWEEN 3 AND 12
+                THEN 1.0 ELSE 0.5 END)
+      ) / 3.0, 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    mean_word = n / words
+    len_score = F.least(n / 500.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct * 10.0 / n, F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.5)
+    return docs.select("doc_id", F.round((len_score + punct_score + word_score) / 3.0, 4).alias("quality"))
+
+
+_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+h AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'in'))) AS he,
+         len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'nicht', 'das'))) AS hd,
+         len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'des'))) AS hf
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN he = 0 AND hd = 0 AND hf = 0 THEN 'und'
+            WHEN he >= hd AND he >= hf THEN 'en'
+            WHEN hd >= hf THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM h
+"""
+
+
+@query("text_lang_id", _LANG_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic (deterministic tiebreak
+    en > de > fr)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    markers = {
+        "he": ["the", "and", "of", "to", "in"],
+        "hd": ["der", "die", "und", "nicht", "das"],
+        "hf": ["le", "la", "les", "et", "des"],
+    }
+    def hit_count(ms):
+        # single-param lambda: a second param would be read by Spark as the
+        # element-index argument of the higher-order filter()
+        return F.size(F.filter(toks, lambda t: t.isin(ms)))
+
+    cols = {k: hit_count(ms).alias(k) for k, ms in markers.items()}
+    h = docs.select("doc_id", *cols.values())
+    guess = (
+        F.when((F.col("he") == 0) & (F.col("hd") == 0) & (F.col("hf") == 0), "und")
+        .when((F.col("he") >= F.col("hd")) & (F.col("he") >= F.col("hf")), "en")
+        .when(F.col("hd") >= F.col("hf"), "de")
+        .otherwise("fr")
+    )
+    return h.select("doc_id", guess.alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content document fingerprint (md5 for portability;
+    the engine-internal variant uses xxhash64, functions/text.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS byte_len, substr(text, 1, 4) AS head4
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: treat content as bytes + typed
+    metadata (byte length, magic prefix)."""
+    docs = load(spark, sf_dir, "documents").withColumn("blob", F.col("text").cast("binary"))
+    return docs.select(
+        "doc_id",
+        F.octet_length("blob").alias("byte_len"),
+        F.substring("text", 1, 4).alias("head4"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _decode_batch(iterator):
+    """Deterministic fake decode: real image/audio libs are absent in this
+    container, so the decode itself is stubbed (documented contract) while
+    the Spark plumbing — binary column in, Arrow batches, typed metadata
+    out — is real and tested."""
+    for pdf in iterator:
+        blobs = pdf["blob"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": ["png" if (b[0] % 2 == 0) else "jpeg" for b in blobs],
+                "width": [64 + (b[0] % 8) * 16 for b in blobs],
+                "height": [64 + (b[-1] % 8) * 16 for b in blobs],
+                "n_frames": [1 for _ in blobs],
+            }
+        )
+
+
+@query("multimodal_decode_stub")  # no SQL oracle: mapInPandas plumbing check
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return docs.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA)
