@@ -1,0 +1,110 @@
+"""Structured Streaming replay: exactly-once across kill/restart and
+checkpoint loss (SURVEY §7.4 hard part #1)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tis_spark.cdc import CdcConfig
+from tis_spark.cdc.oracle import replay_oracle
+from tis_spark.fixtures.gen import gen_page_changes
+from tis_spark.streaming import StreamingCdc, write_stream_chunks
+
+N_EVENTS = 1200
+CHUNK = 300
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark):
+    d = tempfile.mkdtemp(prefix="tis-stream-src-")
+    changes = gen_page_changes(spark, N_EVENTS, seed=11, epoch_size=CHUNK)
+    n = write_stream_chunks(changes, d, chunk_size=CHUNK)
+    assert n >= 4
+    yield d, changes.collect()
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _engine_pdf(s: StreamingCdc):
+    return (
+        s.final_state()
+        .withColumn("warc_ts_us", F.unix_micros("warc_ts"))
+        .drop("warc_ts")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def _assert_matches_oracle(s: StreamingCdc, rows, cfg):
+    oracle = replay_oracle(rows, cfg).sort_values("url").reset_index(drop=True)
+    engine = _engine_pdf(s)
+    assert len(engine) == len(oracle)
+    import pandas as pd
+
+    for col in oracle.columns:
+        for i in range(len(oracle)):
+            ev, ov = engine[col].iloc[i], oracle[col].iloc[i]
+            e_na = not isinstance(ev, (bytes, bytearray)) and pd.isna(ev)
+            o_na = not isinstance(ov, (bytes, bytearray)) and pd.isna(ov)
+            if e_na and o_na:
+                continue
+            if isinstance(ov, bytes):
+                ev = bytes(ev)
+            assert ev == ov, f"{col}[{i}]: {ev!r} != {ov!r}"
+
+
+def test_streaming_end_to_end(spark, stream_source, tmp_table_dir):
+    src, rows = stream_source
+    cfg = CdcConfig(fold_parallelism=8)
+    s = StreamingCdc(spark, src, tmp_table_dir, cfg)
+    assert s.run_available(max_files_per_trigger=1)
+    s.drain()
+    _assert_matches_oracle(s, rows, cfg)
+
+
+def test_streaming_restart_midway(spark, stream_source, tmp_table_dir):
+    """Kill the query after ~2 micro-batches; restart from checkpoint; the
+    final state must still equal the oracle and no epoch double-applies."""
+    src, rows = stream_source
+    cfg = CdcConfig(fold_parallelism=8)
+    s = StreamingCdc(spark, src, tmp_table_dir, cfg)
+    # short timeout forces a stop partway through (simulated crash)
+    s.run_available(max_files_per_trigger=1, timeout_s=12)
+    epochs_before = [
+        snap.summary["epoch_id"] for snap in s.ingest.table.history() if "epoch_id" in snap.summary
+    ]
+    # restart: same checkpoint, same table
+    s2 = StreamingCdc(spark, src, tmp_table_dir, cfg, checkpoint_dir=s.checkpoint_dir)
+    assert s2.run_available(max_files_per_trigger=1)
+    s2.drain()
+    _assert_matches_oracle(s2, rows, cfg)
+    epochs_after = [
+        snap.summary["epoch_id"] for snap in s2.ingest.table.history() if "epoch_id" in snap.summary
+    ]
+    assert epochs_after == sorted(set(epochs_after)), "an epoch committed twice"
+    assert set(epochs_before).issubset(set(epochs_after))
+
+
+def test_streaming_checkpoint_loss_refeed(spark, stream_source, tmp_table_dir):
+    """Worst case: checkpoint wiped after a full run -> the whole stream is
+    re-delivered. Sink-side fencing must no-op every batch."""
+    src, rows = stream_source
+    cfg = CdcConfig(fold_parallelism=8)
+    s = StreamingCdc(spark, src, tmp_table_dir, cfg)
+    assert s.run_available(max_files_per_trigger=2)
+    s.drain()
+    before = _engine_pdf(s)
+    n_snaps = len(s.ingest.table.history())
+    # wipe checkpoint -> batch ids restart at 0 -> all fenced
+    shutil.rmtree(s.checkpoint_dir, ignore_errors=True)
+    s3 = StreamingCdc(spark, src, tmp_table_dir, cfg)
+    assert s3.run_available(max_files_per_trigger=2)
+    after = _engine_pdf(s3)
+    assert before.equals(after)
+    # fenced batches commit nothing
+    assert len(s3.ingest.table.history()) == n_snaps

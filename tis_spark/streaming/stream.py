@@ -1,0 +1,94 @@
+"""Structured Streaming front-end for the CDC ingest pipeline.
+
+``readStream`` (file source standing in for the MQ/binlog tail, reference
+S5 MQListenerFactory) -> ``foreachBatch`` -> ``CdcIngest.process_epoch``.
+Exactly-once comes from the *sink* side (epoch fencing in the lake commit),
+so a re-delivered micro-batch after checkpoint loss or restart is a no-op —
+Structured Streaming's batch_id is the epoch id.
+
+Drain mode (reference C7 ``-Ddrain=true``) maps to Trigger.AvailableNow
+plus a final ``drain()`` that flushes the seq-watermark reorder buffer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tis_spark.cdc.pipeline import CdcConfig, CdcIngest
+from tis_spark.fixtures.gen import CHANGE_SCHEMA
+
+
+def write_stream_chunks(changes: DataFrame, source_dir: str, chunk_size: int = 1000) -> int:
+    """Materialize a change stream as ordered parquet chunk files (the
+    delivery order a binlog tail would produce). Returns chunk count."""
+    os.makedirs(source_dir, exist_ok=True)
+    bounds = changes.agg(F.min("delivery_key").alias("lo"), F.max("delivery_key").alias("hi")).first()
+    if bounds["lo"] is None:
+        return 0
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    n = 0
+    tmp = tempfile.mkdtemp(prefix="tis-chunks-")
+    for ck in range(lo // chunk_size, hi // chunk_size + 1):
+        part = changes.filter(
+            (F.col("delivery_key") >= ck * chunk_size) & (F.col("delivery_key") < (ck + 1) * chunk_size)
+        )
+        d = os.path.join(tmp, f"c{ck}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        if files:
+            shutil.move(os.path.join(d, files[0]), os.path.join(source_dir, f"chunk-{n:06d}.parquet"))
+            n += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
+class StreamingCdc:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        table_path: str,
+        cfg: CdcConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir or os.path.join(table_path, "_checkpoint")
+        self.ingest = CdcIngest(spark, table_path, cfg)
+
+    def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
+        """Process everything currently in the source dir (drain trigger).
+        Returns True if the query terminated on its own (all data done)."""
+        stream = (
+            self.spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(self.source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.ingest.process_epoch(df, bid)
+            )
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(timeout_s) if timeout_s else (q.awaitTermination() or True)
+        if not done:
+            q.stop()
+            q.awaitTermination(60)
+        return bool(done)
+
+    def drain(self) -> dict:
+        """Flush the reorder buffer after the stream is exhausted (the end
+        of a bounded replay; unbounded streams just keep the buffer)."""
+        last = self.ingest.table.last_epoch_id()
+        empty = self.spark.createDataFrame([], CHANGE_SCHEMA)
+        return self.ingest.process_epoch(empty, (last if last is not None else -1) + 1, final_flush=True)
+
+    def final_state(self) -> DataFrame:
+        return self.ingest.final_state()
