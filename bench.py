@@ -1,0 +1,178 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": events_per_sec, "unit": "events/sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+Two workloads:
+
+1. **Headline operator queries** at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` — per-query wall
+   seconds (each fully materialized via a count/collect-free write to
+   ``noop`` format... we use ``.count()`` on the result, which executes the
+   whole plan).
+2. **CDC end-to-end throughput** (the BASELINE.json north metric):
+   deterministic generated binlog (fixtures.gen) replayed through
+   CdcIngest into a fresh lake table; events/sec = n_events / wall.
+
+``--scaling`` additionally re-runs the identical CDC job in a fresh JVM at
+N cores vs 4N cores (cluster-size proxy sanctioned by the driver) and
+reports throughput at both plus scaling efficiency
+``thr_4N / (4 * thr_N)``; results are appended to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
+
+# Representative headline set: one per operator family (full registry is
+# exercised by the driver correctness gate at sf0.01).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "wide_row_build",
+    "latest_per_key",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "text_lang_id",
+]
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    qs["wide_row_build"] = lambda s, d: entry_mod.entry(s)
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_cdc(spark, n_events: int, epoch_size: int) -> dict:
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.fixtures.gen import gen_page_changes
+
+    workdir = tempfile.mkdtemp(prefix="tis-bench-cdc-")
+    try:
+        par = spark.sparkContext.defaultParallelism
+        changes = gen_page_changes(
+            spark, n_events, seed=42, epoch_size=epoch_size, num_partitions=par
+        ).persist()
+        changes.count()  # exclude generation from the measured window
+        ingest = CdcIngest(
+            spark,
+            os.path.join(workdir, "pages"),
+            CdcConfig(fold_parallelism=max(par * 4, 32)),
+        )
+        t0 = time.time()
+        stats = ingest.replay(changes, epoch_size=epoch_size)
+        wall = time.time() - t0
+        n_rows = ingest.final_state().count()
+        changes.unpersist()
+        return {
+            "n_events": n_events,
+            "epochs": len(stats),
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "final_rows": n_rows,
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _spark(cpus: int):
+    from tis_spark.session import get_spark
+
+    return get_spark(
+        "tis-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    sf = _sf_label(SF_DIR)
+    spark = _spark(CPUS)
+    queries = run_queries(spark, SF_DIR)
+    epoch_size = max(N_EVENTS // 4, 1)
+    cdc = run_cdc(spark, N_EVENTS, epoch_size)
+    result = {
+        "metric": "change-events/sec end-to-end CDC upsert throughput (binlog replay -> lake MERGE); headline operator queries in `queries` (sec)",
+        "value": cdc["events_per_sec"],
+        "unit": "events/sec",
+        "queries": queries,
+        "sf": sf,
+        "cdc": cdc,
+        "cpus": CPUS,
+    }
+    spark.stop()
+
+    if scaling:
+        # Fresh JVM per parallelism level so the two runs are identical
+        # except for core count (N vs 4N executor-core proxy).
+        lo, hi = max(CPUS // 4, 1), CPUS
+        thr = {}
+        for c in (lo, hi):
+            p = subprocess.run(
+                [sys.executable, __file__, "--cdc-only", str(c)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            thr[c] = json.loads(line)["events_per_sec"]
+        eff = thr[hi] / (thr[lo] * (hi / lo))
+        result["scaling"] = {
+            "cores_n": lo,
+            "cores_4n": hi,
+            "events_per_sec_n": thr[lo],
+            "events_per_sec_4n": thr[hi],
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+def cdc_only(cpus: int) -> None:
+    spark = _spark(cpus)
+    epoch_size = max(N_EVENTS // 4, 1)
+    out = run_cdc(spark, N_EVENTS, epoch_size)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--cdc-only" in sys.argv:
+        cdc_only(int(sys.argv[sys.argv.index("--cdc-only") + 1]))
+    else:
+        main()
