@@ -1,14 +1,18 @@
-"""Bucket-wise copy-on-write MERGE INTO the lake table.
+"""Bucket-wise merge-on-read MERGE INTO the lake table.
 
 Execution shape (all set-oriented — nothing per-row crosses to Python
 except the Arrow-batched fold and text extraction):
 
 1. Flatten + predicate-filter the change batch JVM-side (fold.py).
-2. **Bucket pruning**: only buckets containing changed keys are scanned.
+2. **Bucket pruning**: only buckets containing changed keys are scanned
+   for the stored-row lookup.
 3. Join changes with stored rows on the key (AQE skew-join enabled),
    fold per key -> exactly one row per key reaches the merge.
-4. Rewrite only buckets with effective changes; untouched buckets carry
-   over by reference in the new snapshot (copy-on-write).
+4. **Append, don't rewrite**: the folded upserts/tombstones are written
+   as *delta* files stamped with the epoch id; untouched data is never
+   copied.  Write amplification per epoch is O(batch) — the property
+   that survives a 100× scale-up.  Reads reconcile base+deltas
+   (LakeTable.read) and compaction folds deltas back periodically.
 
 This replaces the reference's per-row fetch-merge-write RPC loop
 (BasicPojoConsumer.java:84-205) with one distributed merge per micro-batch;
@@ -24,26 +28,30 @@ from pyspark import StorageLevel
 from tis_spark.cdc.fold import fold_changes, flatten_changes
 from tis_spark.cdc.semantics import COUNTER_NAMES, CdcConfig
 from tis_spark.functions.text import extract_text_udf
-from tis_spark.lake.table import LakeTable
+from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
 
 
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
     changes: DataFrame,
+    epoch_id: int,
     cfg: CdcConfig,
-) -> tuple[dict[str, list[dict]], set[str], list[dict]]:
-    """Apply a change batch. Returns (new_files_by_bucket, replaced_buckets,
-    per-bucket lineage/metric rows). The caller commits."""
+    touched: list[int] | None = None,
+) -> tuple[dict[str, list[dict]], list[dict]]:
+    """Apply a change batch as a delta commit. Returns
+    (new_files_by_bucket, per-bucket lineage/metric rows). The caller
+    commits."""
     snap = table.current_snapshot()
     bucket = table.bucket_expr()
     flat = flatten_changes(changes, cfg)
 
-    touched = sorted(
-        r[0] for r in flat.select(bucket.alias("_bucket")).distinct().collect()
-    )
+    if touched is None:
+        touched = sorted(
+            r[0] for r in flat.select(bucket.alias("_bucket")).distinct().collect()
+        )
     if not touched:
-        return {}, set(), []
+        return {}, []
 
     existing = table.read(buckets=touched)
     cur_fields = {f.name for f in snap.schema.fields}
@@ -52,15 +60,20 @@ def merge_into(
         F.unix_micros(F.col("warc_ts")).alias("s_warc_ts_us"),
         F.col("html").alias("s_html"),
         F.col("lang").alias("s_lang"),
-        (F.col("fetch_status").cast("long") if "fetch_status" in cur_fields else F.lit(None).cast("long")).alias(
-            "s_fetch_status"
-        ),
-        (F.col("score").cast("double") if "score" in cur_fields else F.lit(None).cast("double")).alias("s_score"),
+        (
+            F.col("fetch_status").cast("long")
+            if "fetch_status" in cur_fields
+            else F.lit(None).cast("long")
+        ).alias("s_fetch_status"),
+        (
+            F.col("score").cast("double") if "score" in cur_fields else F.lit(None).cast("double")
+        ).alias("s_score"),
     )
 
     folded = fold_changes(flat, stored, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        # Per-bucket lineage/metrics (reference C6 counters, SURVEY §2.8).
+        # One pass: per-bucket lineage/metrics (reference C6 counters,
+        # SURVEY §2.8) including the effective-change count.
         metrics_rows = [
             r.asDict()
             for r in (
@@ -70,19 +83,17 @@ def merge_into(
                     F.min("min_seq").alias("min_seq"),
                     F.max("max_seq").alias("max_seq"),
                     F.count("*").alias("n_keys"),
+                    F.sum((F.col("action") != "N").cast("long")).alias("n_effective"),
                 )
                 .collect()
             )
         ]
+        if not any(m["n_effective"] for m in metrics_rows):
+            return {}, metrics_rows
 
-        effective = folded.filter(F.col("action") != "N")
-        replaced = {
-            str(r[0]) for r in effective.select(bucket.alias("_bucket")).distinct().collect()
-        }
-        if not replaced:
-            return {}, set(), metrics_rows
-
-        # Final content of each replaced bucket: untouched keys + upserts.
+        # Delta rows: upserts carry the new image (+ extracted text, the
+        # vectorized pandas UDF — input_hint's no-per-row-Python mandate);
+        # deletes become tombstones.  _commit = epoch id (monotone).
         upsert_cols = [
             F.col("url"),
             F.timestamp_micros(F.col("warc_ts_us")).alias("warc_ts"),
@@ -97,14 +108,30 @@ def merge_into(
                 upsert_cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
             else:
                 upsert_cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
-        upserts = folded.filter(F.col("action") == "U").select(*upsert_cols)
-
-        replaced_ints = sorted(int(b) for b in replaced)
-        kept = table.read(buckets=replaced_ints).join(
-            effective.select("url"), "url", "left_anti"
+        upserts = folded.filter(F.col("action") == "U").select(
+            *upsert_cols,
+            F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+            F.lit(False).alias(DEAD_COL),
         )
-        new_rows = kept.unionByName(upserts).withColumn("_bucket", bucket)
-        files = table.write_data_files(new_rows)
-        return files, replaced, metrics_rows
+        tombstones = folded.filter(F.col("action") == "D").select(
+            F.col("url"),
+            *[
+                F.lit(None).cast(fld.dataType).alias(fld.name)
+                for fld in snap.schema.fields
+                if fld.name != "url"
+            ],
+            F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+            F.lit(True).alias(DEAD_COL),
+        )
+        # Align write tasks with buckets so each epoch emits O(num_buckets)
+        # delta files, not O(fold_parallelism × num_buckets) — small-file
+        # control is what keeps the merge-on-read read fan-in bounded.
+        delta = (
+            upserts.unionByName(tombstones)
+            .withColumn("_bucket", bucket)
+            .repartition(snap.num_buckets, F.col("_bucket"))
+        )
+        files = table.write_data_files(delta, kind="delta")
+        return files, metrics_rows
     finally:
         folded.unpersist()

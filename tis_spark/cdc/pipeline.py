@@ -14,12 +14,23 @@ One ``process_epoch`` call = one micro-batch (Structured Streaming's
 * **Exactly-once epoch fencing** (reference pt + success-token protocol,
   C10): an epoch id at or below the last committed one is skipped before
   any write; the merge commit atomically records (epoch_id, pending-state
-  pointer, counters).
+  pointer, counters, per-bucket lineage).
 * **DDL routing** (§1.5 schema registry): DDL events in the admitted set
   bump the table schema first — legal because our evolutions (add column /
   widen) are monotonic, so applying them at batch start cannot change row
   semantics (row events carry their own schema_version).
-* **Lineage + metrics** (reference C6 gRPC counters -> parquet tables).
+* **Lineage + metrics** (reference C6 gRPC counters): per-bucket rows are
+  embedded in the commit summary — they ride the atomic snapshot publish,
+  so lineage can never disagree with table state and costs zero extra
+  Spark jobs.
+* **Compaction**: after each commit, buckets whose delta-file count
+  crossed ``cfg.compact_threshold`` are folded back into a base
+  generation, bounding read fan-in (merge-on-read maintenance).
+
+Per-epoch Spark-job budget (the fixed cost that bounds micro-batch
+throughput): ① one combined aggregate over the raw batch (max seq + DDL
+set + touched buckets), ② the pending-state write, ③ the fold+metrics
+job, ④ the delta write.  Everything else is driver-side metadata IO.
 """
 
 from __future__ import annotations
@@ -84,93 +95,127 @@ class CdcIngest:
         else:
             raise FileNotFoundError(table_path)
         self.state_dir = os.path.join(table_path, "_state")
-        self.metrics_dir = os.path.join(table_path, "_metrics")
         os.makedirs(self.state_dir, exist_ok=True)
-        os.makedirs(self.metrics_dir, exist_ok=True)
+        # The fence is read once from durable state, then maintained
+        # in-memory (single writer per table; a fresh process re-reads).
+        self._last_epoch = self.table.last_epoch_id()
+        self._last_state = self._scan_last_state_path()
 
     # ------------------------------------------------------------- state
 
-    def _last_state_path(self) -> str | None:
+    def _scan_last_state_path(self) -> str | None:
         for snap in reversed(self.table.history()):
             if "state_path" in snap.summary:
                 p = snap.summary["state_path"]
                 return p if p else None
         return None
 
-    def _load_pending(self) -> DataFrame:
-        p = self._last_state_path()
+    def _load_pending(self) -> DataFrame | None:
+        p = self._last_state
         if p and os.path.isdir(p):
             return self.spark.read.schema(CHANGE_SCHEMA).parquet(p)
-        return self.spark.createDataFrame([], CHANGE_SCHEMA)
+        return None
 
     # ------------------------------------------------------------- epochs
 
     def process_epoch(self, changes: DataFrame, epoch_id: int, final_flush: bool = False) -> dict:
         t0 = time.time()
-        last = self.table.last_epoch_id()
-        if last is not None and epoch_id <= last:
+        if self._last_epoch is not None and epoch_id <= self._last_epoch:
             return {"epoch_id": epoch_id, "skipped": True}
 
         cols = [f.name for f in CHANGE_SCHEMA.fields]
-        events = changes.select(*cols).unionByName(self._load_pending())
+        events = changes.select(*cols)
+        pending = self._load_pending()
+        if pending is not None:
+            events = events.unionByName(pending)
 
-        max_seq = events.agg(F.max("seq")).first()[0]
+        snap = self.table.current_snapshot()
+        url = F.coalesce(F.col("after.url"), F.col("before.url"))
+        bucket_of = F.pmod(F.xxhash64(url), F.lit(snap.num_buckets)).cast("int")
+        # ① one pass over the batch: watermark high, DDL set, touched buckets
+        meta = events.agg(
+            F.max("seq").alias("max_seq"),
+            F.collect_set(
+                F.when(F.col("op") == "DDL", F.struct(F.col("seq"), F.col("ddl")))
+            ).alias("ddls"),
+            F.collect_set(
+                F.when(
+                    (F.col("op") != "DDL") & F.col("table").isin(*self.cfg.table_focus),
+                    bucket_of,
+                )
+            ).alias("touched"),
+        ).first()
+        max_seq = meta["max_seq"]
         if max_seq is None:
-            self.table.commit({}, set(), summary=self._summary(epoch_id, "", 0, {}))
+            self._commit(epoch_id, "", 0, [], {}, t0)
             return {"epoch_id": epoch_id, "admitted": 0}
 
         horizon = max_seq if final_flush else max_seq - self.cfg.disorder_window
         admitted = events.filter(F.col("seq") <= horizon)
         pending_new = events.filter(F.col("seq") > horizon).dropDuplicates(["seq"])
 
+        # ② durable reorder buffer for crash-resume
         state_path = os.path.join(self.state_dir, f"ep_{epoch_id}")
         pending_new.write.mode("overwrite").parquet(state_path)
 
         # DDL events bump the registry before the row merge (monotonic).
-        ddls = sorted(
-            admitted.filter(F.col("op") == "DDL").select("seq", "ddl").distinct().collect(),
-            key=lambda r: r["seq"],
-        )
+        ddls = sorted((r for r in meta["ddls"] if r["seq"] <= horizon), key=lambda r: r["seq"])
         for r in ddls:
             apply_ddl(self.table, r["ddl"], summary={"epoch_ddl": epoch_id, "at_seq": r["seq"]})
 
-        files, replaced, metrics_rows = merge_into(
-            self.spark, self.table, admitted.filter(F.col("op") != "DDL"), self.cfg
+        # ③ fold + ④ delta write (merge_into); ``touched`` is a superset of
+        # the admitted rows' buckets (it includes still-pending rows), which
+        # only widens the pruned stored-row scan — never wrong.
+        files, metrics_rows = merge_into(
+            self.spark,
+            self.table,
+            admitted.filter(F.col("op") != "DDL"),
+            epoch_id,
+            self.cfg,
+            touched=sorted(meta["touched"]),
         )
 
-        wall_ms = int((time.time() - t0) * 1000)
         totals = {c: int(sum(m.get(c) or 0 for m in metrics_rows)) for c in COUNTER_NAMES}
-        if metrics_rows:
-            rows = [
-                {
-                    "epoch_id": epoch_id,
-                    "bucket": int(m["bucket"]),
-                    "n_keys": int(m["n_keys"]),
-                    "min_seq": m["min_seq"],
-                    "max_seq": m["max_seq"],
-                    "wall_ms": wall_ms,
-                    **{c: int(m.get(c) or 0) for c in COUNTER_NAMES},
-                }
-                for m in metrics_rows
-            ]
-            self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(self.metrics_dir, f"ep_{epoch_id}")
-            )
-
-        self.table.commit(
-            files,
-            replaced_buckets=replaced,
-            summary=self._summary(epoch_id, state_path, max_seq, totals),
-        )
+        committed = self._commit(epoch_id, state_path, max_seq, metrics_rows, totals, t0, files)
+        self._maybe_compact(committed, epoch_id)
+        wall_ms = int((time.time() - t0) * 1000)
         return {"epoch_id": epoch_id, "admitted_horizon": horizon, "wall_ms": wall_ms, **totals}
 
-    def _summary(self, epoch_id: int, state_path: str, max_seq: int, totals: dict) -> dict:
-        return {
-            "epoch_id": epoch_id,
-            "state_path": state_path,
-            "max_seq_seen": int(max_seq),
-            "counters": totals,
-        }
+    def _commit(self, epoch_id, state_path, max_seq, metrics_rows, totals, t0, files=None):
+        wall_ms = int((time.time() - t0) * 1000)
+        lineage = [
+            {
+                "bucket": int(m["bucket"]),
+                "n_keys": int(m["n_keys"]),
+                "min_seq": None if m["min_seq"] is None else int(m["min_seq"]),
+                "max_seq": None if m["max_seq"] is None else int(m["max_seq"]),
+                **{c: int(m.get(c) or 0) for c in COUNTER_NAMES},
+            }
+            for m in metrics_rows
+        ]
+        committed = self.table.commit(
+            files or {},
+            summary={
+                "epoch_id": epoch_id,
+                "state_path": state_path,
+                "max_seq_seen": int(max_seq),
+                "wall_ms": wall_ms,
+                "counters": totals,
+                "bucket_metrics": lineage,
+            },
+        )
+        self._last_epoch = epoch_id
+        self._last_state = state_path if state_path else None
+        return committed
+
+    def _maybe_compact(self, snap, epoch_id: int) -> None:
+        due = [
+            int(b)
+            for b, n in snap.delta_counts().items()
+            if n >= self.cfg.compact_threshold
+        ]
+        if due:
+            self.table.compact(sorted(due), summary={"after_epoch": epoch_id})
 
     # ------------------------------------------------------------- replay
 
@@ -201,6 +246,25 @@ class CdcIngest:
         return self.table.read()
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.schema(METRICS_SCHEMA).parquet(
-            os.path.join(self.metrics_dir, "ep_*")
-        )
+        """Per-(epoch, bucket) lineage rows, reconstructed from the commit
+        summaries (they are embedded in the snapshot log)."""
+        rows = []
+        for snap in self.table.history():
+            s = snap.summary
+            if "epoch_id" not in s:
+                continue
+            for m in s.get("bucket_metrics", []):
+                rows.append(
+                    {
+                        "epoch_id": int(s["epoch_id"]),
+                        "bucket": int(m["bucket"]),
+                        "n_keys": int(m["n_keys"]),
+                        "min_seq": m["min_seq"],
+                        "max_seq": m["max_seq"],
+                        "wall_ms": int(s.get("wall_ms", 0)),
+                        **{c: int(m.get(c) or 0) for c in COUNTER_NAMES},
+                    }
+                )
+        if not rows:
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        return self.spark.createDataFrame(rows, METRICS_SCHEMA)

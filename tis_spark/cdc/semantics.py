@@ -68,6 +68,7 @@ class CdcConfig:
     table_focus: tuple[str, ...] = ("pages",)  # P6
     num_buckets: int = 16
     fold_parallelism: int = 128  # hash groups for the per-key fold
+    compact_threshold: int = 8  # delta files per bucket before compaction
     counters: list[str] = field(default_factory=lambda: list(COUNTER_NAMES))
 
 

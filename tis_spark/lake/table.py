@@ -13,7 +13,15 @@ SingleTableDump.java:83,106-128 — generalized to snapshot isolation):
 * **Bucketed layout**: data files are grouped by ``bucket =
   pmod(xxhash64(key), N)`` (reference: 16-way group fan-out + pmod shard
   column, ITableDumpConstant.RAND_GROUP_NUMBER / SqlRewriter.java:94-128).
-  MERGE rewrites only touched buckets (copy-on-write) and prunes scans.
+* **Merge-on-read**: each bucket holds at most one *base* generation
+  (unique keys) plus appended *delta* files (folded upserts/tombstones
+  stamped with a monotone ``_commit``).  A MERGE appends only the batch's
+  folded rows — write amplification is O(batch), not O(table).  Reads
+  reconcile base∖delta-keys ∪ latest-deltas with a broadcast anti-join
+  (deltas are small between compactions), and ``compact()`` folds a
+  bucket's deltas back into a fresh base.  This is the write-optimized
+  upsert layout of published lakehouse formats (Iceberg v2 MOR / Hudi
+  MOR), re-derived for this engine.
 * **Epoch fencing**: each commit records ``epoch_id`` in its summary; a
   re-delivered micro-batch is detected before any write (exactly-once,
   SURVEY §4 "Exactly-once").
@@ -39,12 +47,18 @@ import uuid
 from dataclasses import dataclass
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LOG_DIR = "_log"
 DATA_DIR = "data"
+
+# Physical bookkeeping columns present in every data file, on top of the
+# logical schema: the commit stamp deciding LWW between file generations,
+# and the tombstone marker (delete encoding under merge-on-read).
+COMMIT_COL = "_commit"
+DEAD_COL = "_dead"
 
 
 class CommitConflict(RuntimeError):
@@ -57,7 +71,7 @@ class Snapshot:
     parent_id: int | None
     schema_version: int
     schemas: dict[str, str]  # schema_version -> StructType.json()
-    files: dict[str, list[dict]]  # bucket -> [{path, schema_version, rows}]
+    files: dict[str, list[dict]]  # bucket -> [{path, schema_version, kind}]
     num_buckets: int
     key_cols: list[str]
     version_col: str
@@ -70,6 +84,12 @@ class Snapshot:
 
     def schema_at(self, version: int) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schemas[str(version)]))
+
+    def delta_counts(self) -> dict[str, int]:
+        return {
+            b: sum(1 for e in entries if e.get("kind") == "delta")
+            for b, entries in self.files.items()
+        }
 
     def to_json(self) -> str:
         return json.dumps(
@@ -89,12 +109,14 @@ class Snapshot:
 
     @staticmethod
     def from_json(s: str) -> "Snapshot":
-        d = json.loads(s)
-        return Snapshot(**d)
+        return Snapshot(**json.loads(s))
 
 
-def _widen_cast_needed(src: T.DataType, dst: T.DataType) -> bool:
-    return src != dst
+def _physical(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields)
+        + [T.StructField(COMMIT_COL, T.LongType()), T.StructField(DEAD_COL, T.BooleanType())]
+    )
 
 
 class LakeTable:
@@ -194,10 +216,11 @@ class LakeTable:
 
     # ------------------------------------------------------------- read
 
-    def read(self, snapshot_id: int | None = None, buckets: list[int] | None = None) -> DataFrame:
-        """Read a snapshot, harmonizing files written under older schema
-        versions (missing columns -> null; widened types -> cast)."""
-        snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+    def _read_parts(
+        self, snap: Snapshot, buckets: list[int] | None, kinds: set[str]
+    ) -> DataFrame | None:
+        """Union the selected files harmonized to the snapshot's current
+        logical schema + (_commit, _dead); None if no files selected."""
         cur = snap.schema
         want = None if buckets is None else {str(b) for b in buckets}
         by_ver: dict[int, list[str]] = {}
@@ -205,40 +228,85 @@ class LakeTable:
             if want is not None and bucket not in want:
                 continue
             for e in entries:
-                by_ver.setdefault(int(e["schema_version"]), []).append(e["path"])
+                if e.get("kind", "base") in kinds:
+                    by_ver.setdefault(int(e["schema_version"]), []).append(e["path"])
         parts: list[DataFrame] = []
         for ver, paths in sorted(by_ver.items()):
-            hist = snap.schema_at(ver)
+            hist = _physical(snap.schema_at(ver))
             df = self.spark.read.schema(hist).parquet(*paths)
             hist_names = {f.name: f.dataType for f in hist.fields}
             cols = []
-            for fld in cur.fields:
+            for fld in _physical(cur).fields:
                 if fld.name not in hist_names:
                     cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
-                elif _widen_cast_needed(hist_names[fld.name], fld.dataType):
+                elif hist_names[fld.name] != fld.dataType:
                     cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
                 else:
                     cols.append(F.col(fld.name))
             parts.append(df.select(*cols))
         if not parts:
-            return self.spark.createDataFrame([], cur)
+            return None
         return reduce(DataFrame.unionByName, parts)
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+        with_internal: bool = False,
+    ) -> DataFrame:
+        """Merge-on-read reconciliation of a snapshot.
+
+        base rows whose key has no delta ∪ latest delta per key (alive).
+        Deltas are small between compactions, so the anti-join broadcasts —
+        no full-table shuffle on the hot read path.
+        """
+        snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        cur = snap.schema
+        key = snap.key_cols
+        empty = self.spark.createDataFrame([], _physical(cur) if with_internal else cur)
+        base = self._read_parts(snap, buckets, {"base"})
+        delta = self._read_parts(snap, buckets, {"delta"})
+        internal = [COMMIT_COL, DEAD_COL]
+
+        if delta is not None:
+            w = Window.partitionBy(*key).orderBy(F.desc(COMMIT_COL))
+            delta = (
+                delta.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            alive = delta.filter(~F.coalesce(F.col(DEAD_COL), F.lit(False)))
+            if base is not None:
+                merged = base.join(F.broadcast(delta.select(*key)), key, "left_anti").unionByName(
+                    alive
+                )
+            else:
+                merged = alive
+        elif base is not None:
+            merged = base
+        else:
+            return empty
+        return merged if with_internal else merged.drop(*internal)
 
     # ------------------------------------------------------------- write
 
-    def write_data_files(self, df: DataFrame, bucket_col: str = "_bucket") -> dict[str, list[dict]]:
-        """Write df (must carry an int bucket column) as parquet partitioned
-        by bucket under a fresh data subdir; returns bucket -> file entries.
+    def write_data_files(
+        self, df: DataFrame, kind: str = "delta", bucket_col: str = "_bucket"
+    ) -> dict[str, list[dict]]:
+        """Write df as parquet partitioned by bucket under a fresh data
+        subdir; returns bucket -> file entries tagged ``kind``.
 
-        Rows are stored in the table's *current* schema order, without the
-        bucket column (it is derivable from the key).
+        df must carry ``bucket_col`` plus the logical columns and the
+        physical bookkeeping columns (_commit long, _dead boolean).
         """
         snap = self.current_snapshot()
-        cur = snap.schema
+        phys = _physical(snap.schema)
         sub = f"snap-{uuid.uuid4().hex}"
         out = os.path.join(self.path, DATA_DIR, sub)
-        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields]
-        (df.select(F.col(bucket_col), *cols).write.partitionBy(bucket_col).mode("overwrite").parquet(out))
+        cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in phys.fields]
+        df.select(F.col(bucket_col), *cols).write.partitionBy(bucket_col).mode(
+            "overwrite"
+        ).parquet(out)
         files: dict[str, list[dict]] = {}
         for entry in sorted(os.listdir(out)):
             if not entry.startswith(f"{bucket_col}="):
@@ -248,7 +316,11 @@ class LakeTable:
             for fn in sorted(os.listdir(d)):
                 if fn.endswith(".parquet"):
                     files.setdefault(b, []).append(
-                        {"path": os.path.join(d, fn), "schema_version": snap.schema_version}
+                        {
+                            "path": os.path.join(d, fn),
+                            "schema_version": snap.schema_version,
+                            "kind": kind,
+                        }
                     )
         return files
 
@@ -259,17 +331,22 @@ class LakeTable:
         summary: dict | None = None,
         expected_snapshot_id: int | None = None,
     ) -> Snapshot:
-        """Publish a new snapshot: replaced buckets take the new file lists,
-        all other buckets carry over from the parent (copy-on-write)."""
+        """Publish a new snapshot.  Buckets in ``replaced_buckets`` take
+        exactly the new file lists (compaction / full rewrite); all other
+        new files are *appended* to their bucket (merge-on-read delta
+        commit); untouched buckets carry over from the parent."""
         parent = self.current_snapshot()
         if expected_snapshot_id is not None and parent.snapshot_id != expected_snapshot_id:
             raise CommitConflict(
                 f"expected parent {expected_snapshot_id}, found {parent.snapshot_id}"
             )
-        replaced = replaced_buckets if replaced_buckets is not None else set(new_files_by_bucket)
+        replaced = replaced_buckets or set()
         files = {b: list(v) for b, v in parent.files.items() if b not in replaced}
         for b, v in new_files_by_bucket.items():
-            files[b] = list(v)
+            if b in replaced:
+                files[b] = list(v)
+            else:
+                files.setdefault(b, []).extend(v)
         snap = Snapshot(
             snapshot_id=parent.snapshot_id + 1,
             parent_id=parent.snapshot_id,
@@ -284,6 +361,31 @@ class LakeTable:
         )
         self._publish(snap)
         return snap
+
+    # ------------------------------------------------------------- compaction
+
+    def compact(self, buckets: list[int], summary: dict | None = None) -> Snapshot | None:
+        """Fold a bucket's deltas into a fresh base generation (keys unique,
+        tombstones dropped, per-row _commit preserved so a concurrent
+        time-travel read of the *new* snapshot is value-identical).  Sorted
+        by key for parquet min/max locality on future lookups."""
+        if not buckets:
+            return None
+        merged = self.read(buckets=buckets, with_internal=True)
+        snap = self.current_snapshot()
+        key = snap.key_cols[0]
+        bucketed = merged.withColumn("_bucket", self.bucket_expr()).sortWithinPartitions(
+            "_bucket", key
+        )
+        files = self.write_data_files(bucketed, kind="base")
+        replaced = {str(b) for b in buckets}
+        # a bucket whose rows were all tombstoned produces no file: still
+        # replace it so the stale deltas are dropped from the snapshot.
+        return self.commit(
+            files,
+            replaced_buckets=replaced,
+            summary={"compaction": sorted(int(b) for b in replaced), **(summary or {})},
+        )
 
     # ------------------------------------------------------------- evolution
 
