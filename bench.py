@@ -36,7 +36,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 
 # Representative headline set: one per operator family (full registry is
 # exercised by the driver correctness gate at sf0.01).
@@ -67,6 +67,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     qs = entry_mod.queries()
     qs["wide_row_build"] = lambda s, d: entry_mod.entry(s)
+    # Warm the JVM (codegen, shuffle service, parquet footer cache) so the
+    # first measured query is not charged the session cold-start.
+    spark.range(100000).selectExpr("id % 7 k", "id v").groupBy("k").sum("v").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     out: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:

@@ -1,22 +1,28 @@
-"""Per-key LWW fold as a Spark stage.
+"""Per-key LWW fold as a Spark stage — payload-free by construction.
 
 The change batch is flattened JVM-side (no-op / invalid predicates are
-Catalyst expressions, not Python), joined against the stored rows of the
-touched buckets, then folded per key inside an Arrow-batched
-``applyInPandas``.  Groups are hash-salted (``fold_parallelism`` groups,
-decoupled from the storage bucket count) so a hot domain cannot serialize
-the fold — the reference's random 16-way fan-out (K3) generalized to
-salted repartitioning per the north rule.
+Catalyst expressions, not Python).  The fold itself sees only scalar
+columns (seq, versions, flags, post-v1 scalar fields): html/lang exist in
+every schema version, so the winning event always overwrites them and the
+fold only needs to decide *which* event wins (``last_seq``); the caller
+re-joins the winner's payload afterwards.  Consequences at scale:
 
-Inside the pandas fold there are two paths:
+* the stored-side scan prunes the html column out of parquet entirely;
+* the fold shuffle and the Arrow boundary move O(events × 100B), not
+  O(events × page size);
+* hot keys cost numpy-level work per event (vectorized singles path).
+
+Execution: tag events + stored rows, union, ONE explicit hash repartition
+on the key (``fold_parallelism`` partitions — the key-partitioned merge
+the north rule asks for; an explicit repartition is never skew-split by
+AQE, which would scatter a key's rows), then a partition-level
+Arrow-batched fold via mapInPandas:
 
 * **Vectorized singles path**: keys with exactly one event in the batch
-  (the overwhelming majority once per-key coalescing has happened) are
-  folded with numpy mask arithmetic — no per-row Python.  The mask
-  algebra mirrors ``fold_key_events`` case-for-case (V3/V5/V6/V7/V8/P5
-  semantics); ``tests/test_cdc_replay.py`` pins the equivalence against
-  the sequential oracle, and test_fold_paths_agree cross-checks the two
-  paths directly.
+  (the overwhelming majority once per-key coalescing has happened) fold
+  with numpy mask arithmetic — no per-row Python.  The mask algebra
+  mirrors ``fold_key_events`` case-for-case (V3/V5/V6/V7/V8/P5
+  semantics); tests/test_fold_unit.py pins the equivalence.
 * **Sequential multi path**: keys with >1 event fold through
   ``fold_key_events`` (the single semantic core shared with the oracle).
 """
@@ -31,20 +37,29 @@ from pyspark.sql import types as T
 
 from tis_spark.cdc.semantics import CONTENT_FIELDS, COUNTER_NAMES, FIELD_SINCE, CdcConfig, fold_key_events
 
+# Scalar content fields the fold must merge field-level (added after
+# schema v1, so an old-schema event must keep the stored value).
+SMALL_FIELDS = ["fetch_status", "score"]
+
 FOLD_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("warc_ts_us", T.LongType()),
-        T.StructField("html", T.BinaryType()),
-        T.StructField("lang", T.StringType()),
         T.StructField("fetch_status", T.LongType()),
         T.StructField("score", T.DoubleType()),
+        T.StructField("last_seq", T.LongType()),
         T.StructField("action", T.StringType(), False),
         T.StructField("min_seq", T.LongType()),
         T.StructField("max_seq", T.LongType()),
     ]
     + [T.StructField(c, T.LongType(), False) for c in COUNTER_NAMES]
 )
+
+FLAT_FOLD_COLS = [
+    "url", "seq", "op", "sv", "invalid", "noop",
+    "a_warc_ts_us", "a_fetch_status", "a_score",
+]
+STORED_COLS = ["s_warc_ts_us", "s_fetch_status", "s_score"]
 
 
 def flatten_changes(changes: DataFrame, cfg: CdcConfig) -> DataFrame:
@@ -84,6 +99,11 @@ def _clean_obj(arr: np.ndarray) -> pd.Series:
     """object array -> Series with NaN normalized to None (Arrow-safe)."""
     s = pd.Series(arr, dtype=object)
     return s.where(pd.notna(s), None)
+
+
+def _int64(arr) -> pd.Series:
+    """float64-with-NaN -> Arrow-native nullable Int64, vectorized."""
+    return pd.Series(arr, dtype="float64").astype("Int64")
 
 
 def fold_singles(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
@@ -128,24 +148,26 @@ def fold_singles(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
     action = np.where(applied, "U", np.where(del_hit, "D", "N"))
 
     exists_after = applied | (has_stored & ~del_hit & ~applied)
+    # All-numeric construction: float64 + NaN for absent, converted to
+    # Arrow-native nullable Int64 once per column — no per-row Python.
     out: dict[str, object] = {"url": pdf["url"].to_numpy(dtype=object)}
-    ver_obj = np.empty(n, dtype=object)
     ver_mask = exists_after & ~np.isnan(version)
-    ver_obj[ver_mask] = version[ver_mask].astype(np.int64)
-    out["warc_ts_us"] = _clean_obj(ver_obj)
-    for f in CONTENT_FIELDS:
-        af, sf = _obj(pdf[f"a_{f}"]), _obj(pdf[f"s_{f}"])
+    out["warc_ts_us"] = _int64(np.where(ver_mask, version, np.nan))
+    for f in SMALL_FIELDS:
+        af = pd.to_numeric(pdf[f"a_{f}"], errors="coerce").to_numpy(dtype=np.float64)
+        sf = pd.to_numeric(pdf[f"s_{f}"], errors="coerce").to_numpy(dtype=np.float64)
         has_f = sv >= FIELD_SINCE[f]
         val = np.where(
             create,
-            np.where(has_f, af, None),
-            np.where(applied & has_f, af, np.where(del_hit, None, sf)),
+            np.where(has_f, af, np.nan),
+            np.where(applied & has_f, af, np.where(del_hit, np.nan, sf)),
         )
-        out[f] = _clean_obj(val)
-    out["fetch_status"] = out.pop("fetch_status").map(_opt_int)
-    out["score"] = out.pop("score").map(_opt_float)
-    out["action"] = pd.Series(action, dtype=object)
+        out[f] = val
+    out["fetch_status"] = _int64(out.pop("fetch_status"))
+    out["score"] = pd.Series(out.pop("score"), dtype="float64")
     seq = pdf["seq"].to_numpy(dtype=np.int64)
+    out["last_seq"] = _int64(np.where(applied, seq.astype(np.float64), np.nan))
+    out["action"] = pd.Series(action, dtype=object)
     out["min_seq"] = seq
     out["max_seq"] = seq
 
@@ -164,8 +186,7 @@ def fold_singles(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
     }
     for c in COUNTER_NAMES:
         out[c] = counters[c].astype(np.int64)
-    cols = {"url": out["url"], **{k: out[k] for k in out if k != "url"}}
-    return pd.DataFrame(cols)
+    return pd.DataFrame(out)
 
 
 def fold_multi(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
@@ -176,8 +197,8 @@ def fold_multi(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
         c: pdf[c].to_numpy(dtype=object)
         for c in (
             "url", "seq", "op", "sv", "invalid", "noop",
-            "a_warc_ts_us", "a_html", "a_lang", "a_fetch_status", "a_score",
-            "s_warc_ts_us", "s_html", "s_lang", "s_fetch_status", "s_score",
+            "a_warc_ts_us", "a_fetch_status", "a_score",
+            "s_warc_ts_us", "s_fetch_status", "s_score",
         )
     }
     urls = arrs["url"]
@@ -190,8 +211,8 @@ def fold_multi(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
             stored = {
                 "url": url,
                 "warc_ts": int(arrs["s_warc_ts_us"][lo]),
-                "html": arrs["s_html"][lo],
-                "lang": arrs["s_lang"][lo],
+                "html": None,
+                "lang": None,
                 "fetch_status": _opt_int(arrs["s_fetch_status"][lo]),
                 "score": _opt_float(arrs["s_score"][lo]),
             }
@@ -199,14 +220,15 @@ def fold_multi(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
             {
                 "op": arrs["op"][i],
                 "url": url,
+                "seq": int(arrs["seq"][i]),
                 "schema_version": int(arrs["sv"][i]),
                 "invalid": bool(arrs["invalid"][i]),
                 "noop": bool(arrs["noop"][i]),
                 "after": {
                     "url": url,
                     "warc_ts": _opt_int(arrs["a_warc_ts_us"][i]),
-                    "html": arrs["a_html"][i],
-                    "lang": arrs["a_lang"][i] if isinstance(arrs["a_lang"][i], str) else None,
+                    "html": None,
+                    "lang": None,
                     "fetch_status": _opt_int(arrs["a_fetch_status"][i]),
                     "score": _opt_float(arrs["a_score"][i]),
                 },
@@ -216,10 +238,9 @@ def fold_multi(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
         row, action, counters = fold_key_events(stored, events, cfg)
         out["url"].append(url)
         out["warc_ts_us"].append(row["warc_ts"] if row else None)
-        out["html"].append(row["html"] if row else None)
-        out["lang"].append(row["lang"] if row else None)
         out["fetch_status"].append(row["fetch_status"] if row else None)
         out["score"].append(row["score"] if row else None)
+        out["last_seq"].append(row.get("_seq") if row else None)
         out["action"].append(action)
         seqs = [int(arrs["seq"][i]) for i in range(lo, hi)]
         out["min_seq"].append(min(seqs))
@@ -246,19 +267,21 @@ def make_fold_fn(cfg: CdcConfig):
         if (~single).any():
             parts.append(fold_multi(pdf[~single], cfg))
         res = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        # Harmonize dtypes (the multi path emits object columns) to
+        # Arrow-native nullable types — vectorized, no per-row Python.
+        for c in ("warc_ts_us", "fetch_status", "last_seq", "min_seq", "max_seq", *COUNTER_NAMES):
+            res[c] = pd.to_numeric(res[c]).astype("Int64")
+        res["score"] = pd.to_numeric(res["score"]).astype("float64")
         return res[col_order]
 
     return fold_pdf
-
-
-STORED_COLS = ["s_warc_ts_us", "s_html", "s_lang", "s_fetch_status", "s_score"]
 
 
 def make_partition_fold(cfg: CdcConfig):
     """Partition-level fold for mapInPandas: the partition holds *all*
     events and stored rows of its keys (explicit hash repartition by url),
     so the stored-row lookup is an in-memory pandas merge — no Spark join
-    stage, no second shuffle of the widest (html-carrying) rows."""
+    stage, no second shuffle."""
     fold_pdf = make_fold_fn(cfg)
 
     def fn(batches):
@@ -279,16 +302,13 @@ def make_partition_fold(cfg: CdcConfig):
 def fold_changes(flat: DataFrame, stored: DataFrame, cfg: CdcConfig) -> DataFrame:
     """Fold flattened changes over stored rows, one output row per key.
 
-    ``stored`` must have columns (url, s_warc_ts_us, s_html, s_lang,
-    s_fetch_status, s_score).  Execution: tag the two sides, union, ONE
-    hash repartition on the key (``fold_parallelism`` partitions — the
-    key-partitioned merge the north rule asks for; an explicit
-    ``repartition`` is never skew-split by AQE, which would scatter a
-    key's rows), then a partition-level Arrow-batched fold.  Hot keys are
-    bounded by the vectorized fold (per-event cost is numpy-level), not by
-    partition splitting.
+    ``stored`` must have columns (url, s_warc_ts_us, s_fetch_status,
+    s_score) — scalars only, no payloads.  Output: FOLD_SCHEMA, one row
+    per key; the winning payload is fetched by joining ``last_seq`` back
+    to the batch.
     """
-    tagged = flat.withColumn("_side", F.lit(1)).unionByName(
+    light = flat.select(*FLAT_FOLD_COLS)
+    tagged = light.withColumn("_side", F.lit(1)).unionByName(
         stored.withColumn("_side", F.lit(0)), allowMissingColumns=True
     )
     parts = tagged.repartition(cfg.fold_parallelism, "url")

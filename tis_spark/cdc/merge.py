@@ -5,14 +5,19 @@ except the Arrow-batched fold and text extraction):
 
 1. Flatten + predicate-filter the change batch JVM-side (fold.py).
 2. **Bucket pruning**: only buckets containing changed keys are scanned
-   for the stored-row lookup.
-3. Join changes with stored rows on the key (AQE skew-join enabled),
-   fold per key -> exactly one row per key reaches the merge.
+   for the stored-row lookup — and the lookup reads scalars only
+   (version + post-v1 fields), so parquet column pruning drops the html
+   payloads from the scan.
+3. **Payload-free fold**: one row per key decides the action and the
+   winning event (``last_seq``); the winner's payload (html, lang) is
+   then fetched with a seq-equi-join against the batch — payload bytes
+   move through exactly one shuffle, once, and never through Python
+   (text extraction is the one vectorized pandas UDF, per input_hint).
 4. **Append, don't rewrite**: the folded upserts/tombstones are written
    as *delta* files stamped with the epoch id; untouched data is never
-   copied.  Write amplification per epoch is O(batch) — the property
-   that survives a 100× scale-up.  Reads reconcile base+deltas
-   (LakeTable.read) and compaction folds deltas back periodically.
+   copied.  Write amplification per epoch is O(batch), not O(table).
+   Reads reconcile base+deltas (LakeTable.read) and compaction folds
+   deltas back periodically.
 
 This replaces the reference's per-row fetch-merge-write RPC loop
 (BasicPojoConsumer.java:84-205) with one distributed merge per micro-batch;
@@ -54,12 +59,16 @@ def merge_into(
         return {}, []
 
     existing = table.read(buckets=touched)
+    if cfg.restrict_stored:
+        # Stored side becomes O(batch): only keys actually present in the
+        # batch survive into the fold shuffle.  At 10^10-event scale the
+        # table dwarfs any micro-batch — without this the fold would
+        # shuffle every touched bucket in full.
+        existing = existing.join(flat.select("url").distinct(), "url", "left_semi")
     cur_fields = {f.name for f in snap.schema.fields}
     stored = existing.select(
         "url",
         F.unix_micros(F.col("warc_ts")).alias("s_warc_ts_us"),
-        F.col("html").alias("s_html"),
-        F.col("lang").alias("s_lang"),
         (
             F.col("fetch_status").cast("long")
             if "fetch_status" in cur_fields
@@ -91,27 +100,36 @@ def merge_into(
         if not any(m["n_effective"] for m in metrics_rows):
             return {}, metrics_rows
 
-        # Delta rows: upserts carry the new image (+ extracted text, the
-        # vectorized pandas UDF — input_hint's no-per-row-Python mandate);
-        # deletes become tombstones.  _commit = epoch id (monotone).
-        upsert_cols = [
-            F.col("url"),
-            F.timestamp_micros(F.col("warc_ts_us")).alias("warc_ts"),
-            F.col("html"),
-            extract_text_udf(F.col("html")).alias("text"),
-            F.col("lang"),
-        ]
-        for fld in snap.schema.fields:
-            if fld.name in ("url", "warc_ts", "html", "text", "lang"):
-                continue
-            if fld.name in ("fetch_status", "score"):
-                upsert_cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
-            else:
-                upsert_cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
-        upserts = folded.filter(F.col("action") == "U").select(
-            *upsert_cols,
-            F.lit(epoch_id).cast("long").alias(COMMIT_COL),
-            F.lit(False).alias(DEAD_COL),
+        # Winner payloads: html/lang exist in every schema version, so they
+        # always come from the last applied event — a seq equi-join, the
+        # only place page payloads move.  No pre-dedup shuffle: duplicate
+        # seqs (at-least-once delivery) would emit byte-identical delta
+        # rows for the same (url, _commit), which the merge-on-read
+        # reconciliation collapses; the fold's counters already dedup.
+        payload = flat.select(
+            F.col("seq").alias("last_seq"), F.col("a_html"), F.col("a_lang")
+        )
+        upserts = (
+            folded.filter(F.col("action") == "U")
+            .join(payload, "last_seq")
+            .select(
+                F.col("url"),
+                F.timestamp_micros(F.col("warc_ts_us")).alias("warc_ts"),
+                F.col("a_html").alias("html"),
+                extract_text_udf(F.col("a_html")).alias("text"),
+                F.col("a_lang").alias("lang"),
+                *[
+                    (
+                        F.col(fld.name).cast(fld.dataType)
+                        if fld.name in ("fetch_status", "score")
+                        else F.lit(None).cast(fld.dataType)
+                    ).alias(fld.name)
+                    for fld in snap.schema.fields
+                    if fld.name not in ("url", "warc_ts", "html", "text", "lang")
+                ],
+                F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+                F.lit(False).alias(DEAD_COL),
+            )
         )
         tombstones = folded.filter(F.col("action") == "D").select(
             F.col("url"),

@@ -131,6 +131,7 @@ class CdcIngest:
 
         snap = self.table.current_snapshot()
         url = F.coalesce(F.col("after.url"), F.col("before.url"))
+        row_ev = (F.col("op") != "DDL") & F.col("table").isin(*self.cfg.table_focus)
         bucket_of = F.pmod(F.xxhash64(url), F.lit(snap.num_buckets)).cast("int")
         # ① one pass over the batch: watermark high, DDL set, touched buckets
         meta = events.agg(
@@ -138,12 +139,7 @@ class CdcIngest:
             F.collect_set(
                 F.when(F.col("op") == "DDL", F.struct(F.col("seq"), F.col("ddl")))
             ).alias("ddls"),
-            F.collect_set(
-                F.when(
-                    (F.col("op") != "DDL") & F.col("table").isin(*self.cfg.table_focus),
-                    bucket_of,
-                )
-            ).alias("touched"),
+            F.collect_set(F.when(row_ev, bucket_of)).alias("touched"),
         ).first()
         max_seq = meta["max_seq"]
         if max_seq is None:

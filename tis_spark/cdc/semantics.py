@@ -69,6 +69,11 @@ class CdcConfig:
     num_buckets: int = 16
     fold_parallelism: int = 128  # hash groups for the per-key fold
     compact_threshold: int = 8  # delta files per bucket before compaction
+    # Restrict the stored-row side of the fold to the batch's keys with a
+    # semi-join before the fold shuffle.  Essential once the table dwarfs
+    # the micro-batch (stored side becomes O(batch), not O(table)); at
+    # table ≈ batch scale it only adds a light-column shuffle.
+    restrict_stored: bool = True
     counters: list[str] = field(default_factory=lambda: list(COUNTER_NAMES))
 
 
@@ -85,6 +90,12 @@ def fold_key_events(
     epoch-microsecond ints (tz handled by callers).  This single function is
     the semantic core — the Spark fold and the pure-Python oracle both call
     it, so they cannot drift apart.
+
+    The returned row carries ``_seq`` = the seq of the last event that
+    modified it (None when events carry no seq, e.g. the oracle).  The
+    engine uses it to re-join the winning event's payload columns (html,
+    lang — present in every schema version, hence always taken from the
+    last applied event) without moving payload bytes through the fold.
     """
     bound_us = cfg.rectify_bound_s * 1_000_000
     tick_us = cfg.rectify_tick_s * 1_000_000
@@ -118,6 +129,7 @@ def fold_key_events(
                 row = {"url": e["url"], "warc_ts": v_new}
                 for f in CONTENT_FIELDS:
                     row[f] = after[f] if FIELD_SINCE[f] <= sv else None
+                row["_seq"] = e.get("seq")
                 version = v_new
                 exists = True
                 if not applied_any:
@@ -137,6 +149,7 @@ def fold_key_events(
                     if FIELD_SINCE[f] <= sv:
                         row[f] = after[f]
                 row["warc_ts"] = version
+                row["_seq"] = e.get("seq")
                 applied_any = True
                 c["n_applied"] += 1
         elif op == "D":

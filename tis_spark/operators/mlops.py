@@ -84,14 +84,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = dt.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), "tok"))).alias(f"h{i}") for i in range(N_MINHASH)]
     )
-    bands = None
-    for b in range(N_MINHASH // 2):
-        part = mh.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # One pass over the signatures: posexplode the band array instead of a
+    # per-band union (a union of N selects re-executes the minhash
+    # aggregation N times — 8x the shuffle at any scale).
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                    for b in range(N_MINHASH // 2)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
     a = bands.alias("a")
     bb = bands.alias("b")
     pairs = (
