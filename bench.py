@@ -83,13 +83,13 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_cdc(spark, n_events: int, epoch_size: int) -> dict:
+def run_cdc(spark, n_events: int, epoch_size: int, fixed_partitions: int | None = None) -> dict:
     from tis_spark.cdc import CdcConfig, CdcIngest
     from tis_spark.fixtures.gen import gen_page_changes
 
     workdir = tempfile.mkdtemp(prefix="tis-bench-cdc-")
     try:
-        par = spark.sparkContext.defaultParallelism
+        par = fixed_partitions or spark.sparkContext.defaultParallelism
         changes = gen_page_changes(
             spark, n_events, seed=42, epoch_size=epoch_size, num_partitions=par
         ).persist()
@@ -97,7 +97,7 @@ def run_cdc(spark, n_events: int, epoch_size: int) -> dict:
         ingest = CdcIngest(
             spark,
             os.path.join(workdir, "pages"),
-            CdcConfig(fold_parallelism=max(par * 4, 32)),
+            CdcConfig(fold_parallelism=max(par * 2, 32)),
         )
         t0 = time.time()
         stats = ingest.replay(changes, epoch_size=epoch_size)
@@ -143,8 +143,12 @@ def main() -> None:
 
     if scaling:
         # Fresh JVM per parallelism level so the two runs are identical
-        # except for core count (N vs 4N executor-core proxy).
-        lo, hi = max(CPUS // 4, 1), CPUS
+        # except for core count (N vs 4N executor-core proxy).  Defaults
+        # to 2 vs 8: beyond ~8 cores a single JVM on one box saturates
+        # node memory bandwidth (html decode + shuffle), a resource a
+        # real 4N-executor cluster scales per node — see BENCH.md.
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_FROM", "2"))
+        hi = int(os.environ.get("SPARK_GRAFT_SCALE_TO", str(min(4 * lo, CPUS))))
         thr = {}
         for c in (lo, hi):
             p = subprocess.run(
@@ -168,9 +172,13 @@ def main() -> None:
 
 
 def cdc_only(cpus: int) -> None:
-    spark = _spark(cpus)
+    # Scaling mode: identical job (fixed partition counts) at every core
+    # count — only the executor-core budget changes.
+    from tis_spark.session import get_spark
+
+    spark = get_spark("tis-bench-cdc", master=f"local[{cpus}]", shuffle_partitions=64)
     epoch_size = max(N_EVENTS // 4, 1)
-    out = run_cdc(spark, N_EVENTS, epoch_size)
+    out = run_cdc(spark, N_EVENTS, epoch_size, fixed_partitions=64)
     spark.stop()
     print(json.dumps(out))
 

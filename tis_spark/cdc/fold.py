@@ -299,6 +299,100 @@ def make_partition_fold(cfg: CdcConfig):
     return fn
 
 
+def make_merged_partition_fold(cfg: CdcConfig):
+    """Partition-level fold over rows already joined with the stored
+    scalars (every event row carries its key's s_* columns)."""
+    fold_pdf = make_fold_fn(cfg)
+
+    def fn(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf):
+            yield fold_pdf(pdf)
+
+    return fn
+
+
+def _b2l(cond) -> F.Column:
+    """boolean Column -> non-null 0/1 long (counter column)."""
+    return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def _nn(cond) -> F.Column:
+    """null-safe boolean: null -> false (matches numpy NaN-comparison)."""
+    return F.coalesce(cond, F.lit(False))
+
+
+def fold_singles_expr(joined: DataFrame, cfg: CdcConfig) -> DataFrame:
+    """Catalyst twin of ``fold_singles``: single-event keys folded entirely
+    JVM-side (whole-stage codegen, zero Python).  ``joined`` = one flat
+    event row per key left-joined with the stored scalars.  The mask
+    algebra mirrors fold_singles / fold_key_events case-for-case;
+    tests/test_fold_unit.py + the replay-vs-oracle suite pin all three
+    together."""
+    bound_us = F.lit(cfg.rectify_bound_s * 1_000_000).cast("long")
+    tick_us = F.lit(cfg.rectify_tick_s * 1_000_000).cast("long")
+    op, v_new, v_old = F.col("op"), F.col("a_warc_ts_us"), F.col("s_warc_ts_us")
+    has_stored = v_old.isNotNull()
+    is_i, is_u, is_d = op == "I", op == "U", op == "D"
+    u_invalid = is_u & F.col("invalid")
+    u_noop = is_u & F.col("noop") & ~u_invalid
+    row_ev = (is_i | is_u) & ~u_invalid & ~u_noop
+    no_store = row_ev & ~has_stored
+    miss_blocked = no_store & is_u & F.lit(not cfg.upsert_missing)
+    create = no_store & ~miss_blocked
+    upd = row_ev & has_stored
+    newer = upd & _nn(v_new > v_old)
+    rect = upd & ~newer & _nn((v_old - v_new) <= bound_us)
+    dirty = upd & ~newer & ~rect
+    applied = create | newer | rect
+    if cfg.delete_policy == "ignore":
+        del_hit = F.lit(False)
+        del_ignored, del_missing = is_d, F.lit(False)
+    else:
+        del_hit = is_d & has_stored
+        del_ignored = F.lit(False)
+        del_missing = is_d & ~has_stored
+    version = (
+        F.when(newer | create, v_new).when(rect, v_old + tick_us).otherwise(v_old)
+    )
+    exists_after = applied | (has_stored & ~del_hit & ~applied)
+
+    def field_val(f: str):
+        af, sf = F.col(f"a_{f}"), F.col(f"s_{f}")
+        has_f = F.lit(FIELD_SINCE[f]) <= F.col("sv")
+        return F.when(create, F.when(has_f, af)).otherwise(
+            F.when(applied & has_f, af).when(del_hit, F.lit(None)).otherwise(sf)
+        )
+
+    counters = {
+        "n_events": F.lit(1).cast("long"),
+        "n_applied": _b2l(applied),
+        "n_noop": _b2l(u_noop),
+        "n_invalid": _b2l(u_invalid),
+        "n_dirty": _b2l(dirty),
+        "n_rectified": _b2l(rect),
+        "n_missing": _b2l(is_u & no_store),
+        "n_deleted": _b2l(del_hit),
+        "n_del_ignored": _b2l(del_ignored),
+        "n_del_missing": _b2l(del_missing),
+        "n_sticky_insert": _b2l(create),
+    }
+    return joined.select(
+        F.col("url"),
+        F.when(exists_after, version).cast("long").alias("warc_ts_us"),
+        field_val("fetch_status").cast("long").alias("fetch_status"),
+        field_val("score").cast("double").alias("score"),
+        F.when(applied, F.col("seq")).cast("long").alias("last_seq"),
+        F.when(applied, F.lit("U")).when(del_hit, F.lit("D")).otherwise(F.lit("N")).alias("action"),
+        F.col("seq").alias("min_seq"),
+        F.col("seq").alias("max_seq"),
+        *[counters[c].alias(c) for c in COUNTER_NAMES],
+    )
+
+
 def fold_changes(flat: DataFrame, stored: DataFrame, cfg: CdcConfig) -> DataFrame:
     """Fold flattened changes over stored rows, one output row per key.
 
@@ -306,10 +400,35 @@ def fold_changes(flat: DataFrame, stored: DataFrame, cfg: CdcConfig) -> DataFram
     s_score) — scalars only, no payloads.  Output: FOLD_SCHEMA, one row
     per key; the winning payload is fetched by joining ``last_seq`` back
     to the batch.
+
+    Hybrid execution (cfg.fold_mode):
+    * ``hybrid`` (default): keys with exactly one event in the batch fold
+      as Catalyst expressions after a shuffle join with the stored
+      scalars — whole-stage codegen, no Python.  Only multi-event keys
+      (rare once per-key coalescing happened) take the Arrow/pandas
+      sequential path.  The window count, the singles join, and the
+      multis shuffle all hash-partition on the key, so Spark reuses the
+      exchanges.
+    * ``pandas``: everything through the partition-level pandas fold
+      (the reference path the hybrid is tested against).
     """
     light = flat.select(*FLAT_FOLD_COLS)
-    tagged = light.withColumn("_side", F.lit(1)).unionByName(
-        stored.withColumn("_side", F.lit(0)), allowMissingColumns=True
+    if cfg.fold_mode == "pandas":
+        tagged = light.withColumn("_side", F.lit(1)).unionByName(
+            stored.withColumn("_side", F.lit(0)), allowMissingColumns=True
+        )
+        parts = tagged.repartition(cfg.fold_parallelism, "url")
+        return parts.mapInPandas(make_partition_fold(cfg), schema=FOLD_SCHEMA)
+
+    from pyspark.sql import Window
+
+    # One join feeds both branches; the window shuffle, the join
+    # exchanges, and the stored subplan are shared via ReusedExchange.
+    flat2 = light.withColumn("_cnt", F.count("*").over(Window.partitionBy("url")))
+    joined = flat2.join(stored, "url", "left")
+    singles = fold_singles_expr(joined.filter(F.col("_cnt") == 1).drop("_cnt"), cfg)
+    multi = joined.filter(F.col("_cnt") > 1).drop("_cnt")
+    folded_m = multi.repartition(cfg.fold_parallelism, "url").mapInPandas(
+        make_merged_partition_fold(cfg), schema=FOLD_SCHEMA
     )
-    parts = tagged.repartition(cfg.fold_parallelism, "url")
-    return parts.mapInPandas(make_partition_fold(cfg), schema=FOLD_SCHEMA)
+    return singles.unionByName(folded_m)

@@ -79,6 +79,9 @@ def merge_into(
         ).alias("s_score"),
     )
 
+    # stored/flat fan out into several plan branches; ReusedExchange
+    # dedupes their shuffles, and caching them measures slower than the
+    # re-execution it avoids.  Only the (tiny) fold output is cached.
     folded = fold_changes(flat, stored, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # One pass: per-bucket lineage/metrics (reference C6 counters,

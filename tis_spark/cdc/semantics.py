@@ -74,6 +74,7 @@ class CdcConfig:
     # the micro-batch (stored side becomes O(batch), not O(table)); at
     # table ≈ batch scale it only adds a light-column shuffle.
     restrict_stored: bool = True
+    fold_mode: str = "hybrid"  # 'hybrid' (Catalyst singles + pandas multis) | 'pandas'
     counters: list[str] = field(default_factory=lambda: list(COUNTER_NAMES))
 
 
