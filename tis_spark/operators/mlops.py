@@ -20,7 +20,8 @@ from tis_spark.operators import load, query
 
 # ---------------------------------------------------------------- dedup
 
-N_MINHASH = 8  # 4 bands x 2 rows
+N_MINHASH = 16  # 4 bands x 4 rows
+ROWS_PER_BAND = 4
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -59,7 +60,9 @@ bands AS (
   {band_union}
 ),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band_idx) AS n_bands
+  -- band_idx is part of the join key, so (pair, band) rows are unique:
+  -- plain count == count(DISTINCT band_idx), without the dedup pass
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
   GROUP BY 1, 2
@@ -68,8 +71,11 @@ SELECT n_bands, count(*) AS n_candidate_pairs FROM pairs GROUP BY n_bands
 """.format(
     minhash_cols=", ".join(f"min(md5('{i}:' || tok)) AS h{i}" for i in range(N_MINHASH)),
     band_union="\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_val FROM mh"
-        for b in range(N_MINHASH // 2)
+        "SELECT doc_id, {b} AS band_idx, {val} AS band_val FROM mh".format(
+            b=b,
+            val=" || ".join(f"h{ROWS_PER_BAND * b + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(N_MINHASH // ROWS_PER_BAND)
     ),
 )
 
@@ -92,8 +98,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-                    for b in range(N_MINHASH // 2)
+                    F.concat(*[F.col(f"h{ROWS_PER_BAND * b + r}") for r in range(ROWS_PER_BAND)])
+                    for b in range(N_MINHASH // ROWS_PER_BAND)
                 ]
             )
         ).alias("band_idx", "band_val"),
@@ -108,7 +114,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.countDistinct("a.band_idx").alias("n_bands"))
+        .agg(F.count("*").alias("n_bands"))
     )
     return pairs.groupBy("n_bands").agg(F.count("*").alias("n_candidate_pairs"))
 
