@@ -128,7 +128,10 @@ def main() -> None:
     sf = _sf_label(SF_DIR)
     spark = _spark(CPUS)
     queries = run_queries(spark, SF_DIR)
-    epoch_size = max(N_EVENTS // 4, 1)
+    # Two macro-epochs + drain: the fixed per-epoch cost (driver planning
+    # + commit) amortizes with epoch size, mirroring the large-trigger
+    # regime of the 10^10-event target.
+    epoch_size = max(N_EVENTS // 2, 1)
     cdc = run_cdc(spark, N_EVENTS, epoch_size)
     result = {
         "metric": "change-events/sec end-to-end CDC upsert throughput (binlog replay -> lake MERGE); headline operator queries in `queries` (sec)",

@@ -566,3 +566,61 @@ def table_focus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch shape of the
+    Structured Streaming windowed agg (watermark + window) the CDC
+    front-end uses; reference TimeCharacteristic.EventTime
+    (tis-sql-parser/.../er/TimeCharacteristic.java:22)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "fn_from_unixtime",
+    """
+    SELECT event_id,
+           strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y%m%d%H%M%S') AS ver
+    FROM events
+    """,
+)
+def fn_from_unixtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_unixtime(int(x), 'yyyyMMddHHmmss') — the column transfer the
+    SQL rewriter injects for epoch-seconds columns
+    (SqlTaskNodeMeta.java:878-895)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.from_unixtime(F.unix_timestamp("ts"), "yyyyMMddHHmmss").alias("ver"),
+    )
+
+
+@query(
+    "fn_coalesce_default",
+    """
+    SELECT event_id,
+           coalesce(nullif(event_type, ''), 'NONE') AS type_d,
+           round(coalesce(value, 0.0), 2) AS value_d
+    FROM events
+    """,
+)
+def fn_coalesce_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """defaultVal / defaultDoubleVal coalescing scalars
+    (FunctionUtils.java:235-279)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("")), F.lit("NONE")).alias("type_d"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value_d"),
+    )
