@@ -46,7 +46,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("TIS_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("TIS_SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     for k, v in (extra_conf or {}).items():
