@@ -25,18 +25,25 @@ def get_spark(
     function simply inherits it.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    if master is None:
+    # Under spark-submit the launcher already created the JVM gateway and
+    # seeded spark.master from --master; setting .master() here would
+    # override the submitted cluster manager (yarn/k8s/local-cluster).
+    # Only default to local[] when running as a plain python process.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
         master = f"local[{cpus}]"
     # parallelism level implied by the master string, e.g. local[8]
     if shuffle_partitions is None:
-        if master.startswith("local[") and master != "local[*]":
+        if master and master.startswith("local[") and master != "local[*]":
             shuffle_partitions = int(master[len("local[") : -1])
         else:
             shuffle_partitions = cpus
 
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
