@@ -78,7 +78,14 @@ def flatten_changes(changes: DataFrame, cfg: CdcConfig) -> DataFrame:
         F.col("after.lang").alias("a_lang"),
         F.col("after.fetch_status").alias("a_fetch_status"),
         F.col("after.score").alias("a_score"),
-        ((F.col("op") == "U") & F.col("before").isNull()).alias("invalid"),
+        # Invalid events (counted, never applied): UPDATE without a
+        # before-image (reference validateTable), and any I/U whose
+        # after-image lacks the version column — a malformed event that
+        # must take the same path in all three fold implementations.
+        (
+            ((F.col("op") == "U") & F.col("before").isNull())
+            | (F.col("op").isin("I", "U") & F.col("after.warc_ts").isNull())
+        ).alias("invalid"),
         noop.alias("noop"),
     )
 
@@ -124,9 +131,9 @@ def fold_singles(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
     has_stored = ~np.isnan(v_old)
 
     is_i, is_u, is_d = op == "I", op == "U", op == "D"
-    u_invalid = is_u & invalid
-    u_noop = is_u & noop & ~u_invalid
-    row_ev = (is_i | is_u) & ~u_invalid & ~u_noop
+    ev_invalid = (is_i | is_u) & (invalid | np.isnan(v_new))
+    u_noop = is_u & noop & ~ev_invalid
+    row_ev = (is_i | is_u) & ~ev_invalid & ~u_noop
     no_store = row_ev & ~has_stored
     miss_blocked = no_store & is_u & (not cfg.upsert_missing)
     create = no_store & ~miss_blocked
@@ -175,7 +182,7 @@ def fold_singles(pdf: pd.DataFrame, cfg: CdcConfig) -> pd.DataFrame:
         "n_events": np.ones(n, dtype=np.int64),
         "n_applied": applied,
         "n_noop": u_noop,
-        "n_invalid": u_invalid,
+        "n_invalid": ev_invalid,
         "n_dirty": dirty,
         "n_rectified": rect,
         "n_missing": is_u & no_store,
@@ -337,9 +344,9 @@ def fold_singles_expr(joined: DataFrame, cfg: CdcConfig) -> DataFrame:
     op, v_new, v_old = F.col("op"), F.col("a_warc_ts_us"), F.col("s_warc_ts_us")
     has_stored = v_old.isNotNull()
     is_i, is_u, is_d = op == "I", op == "U", op == "D"
-    u_invalid = is_u & F.col("invalid")
-    u_noop = is_u & F.col("noop") & ~u_invalid
-    row_ev = (is_i | is_u) & ~u_invalid & ~u_noop
+    ev_invalid = (is_i | is_u) & (F.col("invalid") | v_new.isNull())
+    u_noop = is_u & F.col("noop") & ~ev_invalid
+    row_ev = (is_i | is_u) & ~ev_invalid & ~u_noop
     no_store = row_ev & ~has_stored
     miss_blocked = no_store & is_u & F.lit(not cfg.upsert_missing)
     create = no_store & ~miss_blocked
@@ -371,7 +378,7 @@ def fold_singles_expr(joined: DataFrame, cfg: CdcConfig) -> DataFrame:
         "n_events": F.lit(1).cast("long"),
         "n_applied": _b2l(applied),
         "n_noop": _b2l(u_noop),
-        "n_invalid": _b2l(u_invalid),
+        "n_invalid": _b2l(ev_invalid),
         "n_dirty": _b2l(dirty),
         "n_rectified": _b2l(rect),
         "n_missing": _b2l(is_u & no_store),

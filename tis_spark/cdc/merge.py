@@ -43,10 +43,13 @@ def merge_into(
     epoch_id: int,
     cfg: CdcConfig,
     touched: list[int] | None = None,
+    n_keys_est: int | None = None,
 ) -> tuple[dict[str, list[dict]], list[dict]]:
     """Apply a change batch as a delta commit. Returns
     (new_files_by_bucket, per-bucket lineage/metric rows). The caller
-    commits."""
+    commits.  ``n_keys_est`` (approx distinct keys in the batch, computed
+    by the caller's existing batch aggregate) gates zone-map file pruning
+    of the stored-row lookup."""
     snap = table.current_snapshot()
     bucket = table.bucket_expr()
     flat = flatten_changes(changes, cfg)
@@ -58,12 +61,29 @@ def merge_into(
     if not touched:
         return {}, []
 
-    existing = table.read(buckets=touched)
+    # Zone-map pruning of the stored scan: for trigger-sized batches
+    # (estimated keys <= lookup_keys_max) collect the key set and skip
+    # every base file whose key range can't contain one.  With key-sorted
+    # compacted bases this makes the per-epoch scan O(batch_keys x
+    # file_rows) regardless of table size; for huge batches (keys >
+    # threshold) the scan is amortized over the batch instead.
+    key_set = None
+    if (
+        cfg.restrict_stored
+        and cfg.lookup_keys_max
+        and n_keys_est is not None
+        and n_keys_est <= cfg.lookup_keys_max
+    ):
+        key_set: dict[str, list] = {}
+        for r in flat.select(bucket.alias("_b"), "url").distinct().collect():
+            key_set.setdefault(str(r["_b"]), []).append(r["url"])
+    existing = table.read(buckets=touched, key_set=key_set)
     if cfg.restrict_stored:
         # Stored side becomes O(batch): only keys actually present in the
         # batch survive into the fold shuffle.  At 10^10-event scale the
         # table dwarfs any micro-batch — without this the fold would
-        # shuffle every touched bucket in full.
+        # shuffle every touched bucket in full.  (Also makes the zone-map
+        # superset projection exact.)
         existing = existing.join(flat.select("url").distinct(), "url", "left_semi")
     cur_fields = {f.name for f in snap.schema.fields}
     stored = existing.select(
@@ -105,13 +125,14 @@ def merge_into(
 
         # Winner payloads: html/lang exist in every schema version, so they
         # always come from the last applied event — a seq equi-join, the
-        # only place page payloads move.  No pre-dedup shuffle: duplicate
-        # seqs (at-least-once delivery) would emit byte-identical delta
-        # rows for the same (url, _commit), which the merge-on-read
-        # reconciliation collapses; the fold's counters already dedup.
+        # only place page payloads move.  The payload side is deduplicated
+        # on seq first: an at-least-once redelivery would otherwise fan out
+        # the inner join and write duplicated delta rows per (url, _commit),
+        # inflating delta files and leaning on arbitrary tie-breaking at
+        # read time.  The dedup aggregate shares the join's hash exchange.
         payload = flat.select(
             F.col("seq").alias("last_seq"), F.col("a_html"), F.col("a_lang")
-        )
+        ).dropDuplicates(["last_seq"])
         upserts = (
             folded.filter(F.col("action") == "U")
             .join(payload, "last_seq")

@@ -69,7 +69,8 @@ def replay_oracle(event_rows: list, cfg: CdcConfig | None = None) -> pd.DataFram
             "op": d["op"],
             "url": url,
             "schema_version": sv,
-            "invalid": d["op"] == "U" and before is None,
+            "invalid": (d["op"] == "U" and before is None)
+            or (d["op"] in ("I", "U") and (after is None or after.get("warc_ts") is None)),
             "noop": noop,
             "after": after,
         }

@@ -46,7 +46,8 @@ from tis_spark.cdc.merge import merge_into
 from tis_spark.cdc.registry import apply_ddl
 from tis_spark.cdc.semantics import COUNTER_NAMES, CdcConfig
 from tis_spark.fixtures.gen import CHANGE_SCHEMA
-from tis_spark.lake.table import LakeTable
+from tis_spark.functions.text import extract_text_udf
+from tis_spark.lake.table import COMMIT_COL, DEAD_COL, CommitConflict, LakeTable, Snapshot
 
 PAGES_SCHEMA_V1 = T.StructType(
     [
@@ -100,6 +101,8 @@ class CdcIngest:
         # in-memory (single writer per table; a fresh process re-reads).
         self._last_epoch = self.table.last_epoch_id()
         self._last_state = self._scan_last_state_path()
+        self._last_horizon = self._scan_last_horizon()
+        self._epoch_retries = 0
 
     # ------------------------------------------------------------- state
 
@@ -109,6 +112,12 @@ class CdcIngest:
                 p = snap.summary["state_path"]
                 return p if p else None
         return None
+
+    def _scan_last_horizon(self) -> int:
+        for snap in reversed(self.table.history()):
+            if "horizon" in snap.summary:
+                return int(snap.summary["horizon"])
+        return 0
 
     def _load_pending(self) -> DataFrame | None:
         p = self._last_state
@@ -120,6 +129,7 @@ class CdcIngest:
 
     def process_epoch(self, changes: DataFrame, epoch_id: int, final_flush: bool = False) -> dict:
         t0 = time.time()
+        self._epoch_retries = 0
         if self._last_epoch is not None and epoch_id <= self._last_epoch:
             return {"epoch_id": epoch_id, "skipped": True}
 
@@ -140,13 +150,18 @@ class CdcIngest:
                 F.when(F.col("op") == "DDL", F.struct(F.col("seq"), F.col("ddl")))
             ).alias("ddls"),
             F.collect_set(F.when(row_ev, bucket_of)).alias("touched"),
+            F.approx_count_distinct(F.when(row_ev, url)).alias("n_keys_est"),
         ).first()
         max_seq = meta["max_seq"]
         if max_seq is None:
-            self._commit(epoch_id, "", 0, [], {}, t0)
+            self._commit(epoch_id, "", 0, [], {}, t0, horizon=self._last_horizon)
             return {"epoch_id": epoch_id, "admitted": 0}
 
         horizon = max_seq if final_flush else max_seq - self.cfg.disorder_window
+        if self.cfg.max_events_per_epoch and not final_flush:
+            # C1 rate limit: seq is dense, so capping the horizon advance
+            # caps admitted events; the excess waits in the reorder buffer.
+            horizon = min(horizon, self._last_horizon + self.cfg.max_events_per_epoch)
         admitted = events.filter(F.col("seq") <= horizon)
         pending_new = events.filter(F.col("seq") > horizon).dropDuplicates(["seq"])
 
@@ -157,7 +172,11 @@ class CdcIngest:
         # DDL events bump the registry before the row merge (monotonic).
         ddls = sorted((r for r in meta["ddls"] if r["seq"] <= horizon), key=lambda r: r["seq"])
         for r in ddls:
-            apply_ddl(self.table, r["ddl"], summary={"epoch_ddl": epoch_id, "at_seq": r["seq"]})
+            self._publish_with_retry(
+                lambda r=r: apply_ddl(
+                    self.table, r["ddl"], summary={"epoch_ddl": epoch_id, "at_seq": r["seq"]}
+                )
+            )
 
         # ③ fold + ④ delta write (merge_into); ``touched`` is a superset of
         # the admitted rows' buckets (it includes still-pending rows), which
@@ -169,15 +188,19 @@ class CdcIngest:
             epoch_id,
             self.cfg,
             touched=sorted(meta["touched"]),
+            # ~10% over the HLL estimate so borderline batches still prune
+            n_keys_est=int(meta["n_keys_est"] * 1.1) if meta["n_keys_est"] else 0,
         )
 
         totals = {c: int(sum(m.get(c) or 0 for m in metrics_rows)) for c in COUNTER_NAMES}
-        committed = self._commit(epoch_id, state_path, max_seq, metrics_rows, totals, t0, files)
+        committed = self._commit(
+            epoch_id, state_path, max_seq, metrics_rows, totals, t0, files, horizon=horizon
+        )
         self._maybe_compact(committed, epoch_id)
         wall_ms = int((time.time() - t0) * 1000)
         return {"epoch_id": epoch_id, "admitted_horizon": horizon, "wall_ms": wall_ms, **totals}
 
-    def _commit(self, epoch_id, state_path, max_seq, metrics_rows, totals, t0, files=None):
+    def _commit(self, epoch_id, state_path, max_seq, metrics_rows, totals, t0, files=None, horizon=0):
         wall_ms = int((time.time() - t0) * 1000)
         lineage = [
             {
@@ -189,20 +212,45 @@ class CdcIngest:
             }
             for m in metrics_rows
         ]
-        committed = self.table.commit(
-            files or {},
-            summary={
-                "epoch_id": epoch_id,
-                "state_path": state_path,
-                "max_seq_seen": int(max_seq),
-                "wall_ms": wall_ms,
-                "counters": totals,
-                "bucket_metrics": lineage,
-            },
+        summary = {
+            "epoch_id": epoch_id,
+            "state_path": state_path,
+            "max_seq_seen": int(max_seq),
+            "horizon": int(horizon),
+            "wall_ms": wall_ms,
+            "counters": totals,
+            "bucket_metrics": lineage,
+        }
+        committed = self._publish_with_retry(
+            lambda: self.table.commit(files or {}, summary=summary), summary
         )
         self._last_epoch = epoch_id
         self._last_state = state_path if state_path else None
+        self._last_horizon = int(horizon)
         return committed
+
+    def _publish_with_retry(self, do_commit, summary: dict | None = None) -> Snapshot:
+        """Sink retry with backoff (reference C5: 3 retries x 5 s,
+        BasicPojoConsumer.java:190-194).  Transient store errors (OSError
+        during snapshot write) retry; CommitConflict means another writer
+        won the snapshot id — never retried blindly, the caller's
+        exactly-once fence must re-evaluate.  The epoch's accumulated retry
+        count (incl. retries of DDL-evolution publishes) rides the commit
+        summary, so error accounting is atomic with table state."""
+        attempts = 0
+        while True:
+            try:
+                if summary is not None:
+                    summary["n_commit_retries"] = self._epoch_retries
+                return do_commit()
+            except CommitConflict:
+                raise
+            except OSError:
+                if attempts >= self.cfg.commit_retries:
+                    raise
+                attempts += 1
+                self._epoch_retries += 1
+                time.sleep(self.cfg.commit_retry_backoff_s)
 
     def _maybe_compact(self, snap, epoch_id: int) -> None:
         due = [
@@ -211,7 +259,54 @@ class CdcIngest:
             if n >= self.cfg.compact_threshold
         ]
         if due:
-            self.table.compact(sorted(due), summary={"after_epoch": epoch_id})
+            self.table.compact(
+                sorted(due),
+                summary={"after_epoch": epoch_id},
+                max_records_per_file=self.cfg.compact_max_records_per_file,
+            )
+
+    # ------------------------------------------------------------- full build
+
+    def full_build(self, pages: DataFrame) -> Snapshot:
+        """Batch full build + atomic swap-in (reference 4-phase full-build,
+        SURVEY §3.1: FullDump -> JOIN -> BUILD -> swap,
+        FullbuildPhase.java:27-29 / WorkflowDumpAndJoinInterceptor.java:48-96
+        — collapsed to one Spark job + one commit).
+
+        ``pages`` must carry (url, warc_ts, html, lang) with unique urls
+        (the dump/join output); ``text`` is derived here if absent (BUILD
+        phase).  Every bucket's base generation is rewritten and swapped in
+        a single atomic commit — readers see the old table until the
+        publish, then the new one (the reference's index swap).  Subsequent
+        incremental epochs apply on top (bootstrap-then-tail)."""
+        snap = self.table.current_snapshot()
+        df = pages
+        if "text" not in df.columns:
+            df = df.withColumn("text", extract_text_udf(F.col("html")))
+        cols = []
+        for fld in snap.schema.fields:
+            src = F.col(fld.name) if fld.name in df.columns else F.lit(None)
+            cols.append(src.cast(fld.dataType).alias(fld.name))
+        bucket = self.table.bucket_expr()
+        key = snap.key_cols[0]
+        bucketed = (
+            df.select(*cols)
+            .withColumn(COMMIT_COL, F.lit(0).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+            .withColumn("_bucket", bucket)
+            .repartition(snap.num_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", key)
+        )
+        files = self.table.write_data_files(
+            bucketed,
+            kind="base",
+            max_records_per_file=self.cfg.compact_max_records_per_file,
+        )
+        return self.table.commit(
+            files,
+            replaced_buckets={str(b) for b in range(snap.num_buckets)},
+            summary={"full_build": True, "n_files": sum(len(v) for v in files.values())},
+        )
 
     # ------------------------------------------------------------- replay
 

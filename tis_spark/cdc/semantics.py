@@ -74,7 +74,32 @@ class CdcConfig:
     # the micro-batch (stored side becomes O(batch), not O(table)); at
     # table ≈ batch scale it only adds a light-column shuffle.
     restrict_stored: bool = True
+    # Zone-map file pruning for the stored-row lookup: when the batch's
+    # estimated distinct-key count is at or below lookup_keys_max, collect
+    # the keys and prune base files whose [key_min, key_max] zone contains
+    # none of them.  Sorted compacted bases give files tight disjoint key
+    # ranges, so once the table outgrows the batch the per-epoch scan cost
+    # is O(batch_keys x file_granularity), independent of table size —
+    # without it every touched bucket's base is re-read in full each epoch
+    # (the O(table) scan that dominates at 10^10 rows).  0 disables.
+    lookup_keys_max: int = 100_000
+    # Compaction write granularity (rows per base file; 0 = one file per
+    # bucket write task).  Smaller files = finer zone-map pruning at the
+    # cost of more files; size it so file_rows x batch_keys ≈ the scan
+    # budget per epoch.
+    compact_max_records_per_file: int = 0
     fold_mode: str = "hybrid"  # 'hybrid' (Catalyst singles + pandas multis) | 'pandas'
+    # Sink retry policy (reference C5 parity, BasicPojoConsumer.java:190-194:
+    # 3 retries x 5 s on sink error): transient commit failures retry with
+    # backoff; retry counts surface in the commit summary lineage.
+    commit_retries: int = 3
+    commit_retry_backoff_s: float = 5.0
+    # Rate limiting (reference C1, RateLimiter 200/600 ev/s ceiling,
+    # BasicRMListener.java:171-173): cap admitted events per epoch; excess
+    # stays in the durable reorder buffer for later epochs.  seq is a dense
+    # global sequence, so capping the admission horizon caps the count.
+    # 0 = unlimited; drain (final_flush) ignores the cap (C7 semantics).
+    max_events_per_epoch: int = 0
     counters: list[str] = field(default_factory=lambda: list(COUNTER_NAMES))
 
 
@@ -112,7 +137,10 @@ def fold_key_events(
         c["n_events"] += 1
         op = e["op"]
         if op in ("I", "U"):
-            if op == "U" and e.get("invalid"):
+            # invalid covers: U without before-image, and I/U with a null
+            # version (after.warc_ts) — both dropped and counted, so the
+            # sequential, vectorized, and Catalyst paths agree on bad input.
+            if e.get("invalid") or e["after"]["warc_ts"] is None:
                 c["n_invalid"] += 1
                 continue
             if op == "U" and e.get("noop"):

@@ -54,6 +54,16 @@ from pyspark.sql import types as T
 LOG_DIR = "_log"
 DATA_DIR = "data"
 
+# Broadcast the delta key set in the merge-on-read anti-join only while the
+# selected delta files stay below this on-disk size (compressed bytes incl.
+# payload columns — a safe over-estimate of the key-only broadcast side).
+# Above it, the hint is dropped and AQE picks the join strategy from runtime
+# sizes: compact_threshold bounds delta *file count* per bucket, not rows,
+# so with large epochs the delta key set can exceed Spark's broadcast /
+# driver-memory limits — the read every merge depends on must not be the
+# thing that OOMs.
+BROADCAST_DELTA_MAX_BYTES = 64 << 20
+
 # Physical bookkeeping columns present in every data file, on top of the
 # logical schema: the commit stamp deciding LWW between file generations,
 # and the tombstone marker (delete encoding under merge-on-read).
@@ -63,6 +73,27 @@ DEAD_COL = "_dead"
 
 class CommitConflict(RuntimeError):
     """Another writer published this snapshot id first."""
+
+
+def prune_entries_by_keys(entries: list[dict], key_set: list) -> list[dict]:
+    """Keep only file entries whose [key_min, key_max] zone could contain a
+    key from ``key_set``.  Entries without zone info are always kept
+    (deltas, pre-zone-map files) — pruning is best-effort, never unsound.
+    O(|entries| log |keys|) driver-side via bisect over the sorted keys."""
+    import bisect
+
+    keys = sorted(key_set)
+    if not keys:
+        return [e for e in entries if "key_min" not in e]
+    out = []
+    for e in entries:
+        if "key_min" not in e or e["key_min"] is None or e["key_max"] is None:
+            out.append(e)
+            continue
+        i = bisect.bisect_left(keys, e["key_min"])
+        if i < len(keys) and keys[i] <= e["key_max"]:
+            out.append(e)
+    return out
 
 
 @dataclass
@@ -209,6 +240,21 @@ class LakeTable:
 
     # ------------------------------------------------------------- expressions
 
+    @staticmethod
+    def _entries_bytes(entries: list[dict]) -> int:
+        """Total on-disk bytes of the entries (sizes cached in the entry at
+        write time; stat fallback for entries written before that)."""
+        total = 0
+        for e in entries:
+            sz = e.get("bytes")
+            if sz is None:
+                try:
+                    sz = os.path.getsize(e["path"])
+                except OSError:
+                    sz = 0
+            total += int(sz)
+        return total
+
     def bucket_expr(self, key_col: str | None = None) -> F.Column:
         snap = self.current_snapshot()
         key = key_col or snap.key_cols[0]
@@ -216,20 +262,32 @@ class LakeTable:
 
     # ------------------------------------------------------------- read
 
-    def _read_parts(
+    def _selected_entries(
         self, snap: Snapshot, buckets: list[int] | None, kinds: set[str]
+    ) -> list[dict]:
+        want = None if buckets is None else {str(b) for b in buckets}
+        out = []
+        for bucket, entries in snap.files.items():
+            if want is not None and bucket not in want:
+                continue
+            out.extend(e for e in entries if e.get("kind", "base") in kinds)
+        return out
+
+    def _read_parts(
+        self,
+        snap: Snapshot,
+        buckets: list[int] | None,
+        kinds: set[str],
+        entries: list[dict] | None = None,
     ) -> DataFrame | None:
         """Union the selected files harmonized to the snapshot's current
         logical schema + (_commit, _dead); None if no files selected."""
         cur = snap.schema
-        want = None if buckets is None else {str(b) for b in buckets}
+        if entries is None:
+            entries = self._selected_entries(snap, buckets, kinds)
         by_ver: dict[int, list[str]] = {}
-        for bucket, entries in snap.files.items():
-            if want is not None and bucket not in want:
-                continue
-            for e in entries:
-                if e.get("kind", "base") in kinds:
-                    by_ver.setdefault(int(e["schema_version"]), []).append(e["path"])
+        for e in entries:
+            by_ver.setdefault(int(e["schema_version"]), []).append(e["path"])
         parts: list[DataFrame] = []
         for ver, paths in sorted(by_ver.items()):
             hist = _physical(snap.schema_at(ver))
@@ -253,19 +311,42 @@ class LakeTable:
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
         with_internal: bool = False,
+        key_set: list | None = None,
     ) -> DataFrame:
         """Merge-on-read reconciliation of a snapshot.
 
         base rows whose key has no delta ∪ latest delta per key (alive).
-        Deltas are small between compactions, so the anti-join broadcasts —
-        no full-table shuffle on the hot read path.
+        The base∖delta-keys anti-join broadcasts the delta keys only while
+        the selected deltas are small (size-guarded; AQE decides above).
+
+        ``key_set`` (point-lookup pruning): base files whose
+        [key_min, key_max] zone contains none of the given keys are
+        skipped.  Pass a dict ``{bucket(str): [keys]}`` so each bucket's
+        files are tested only against its own keys (a flat list works but
+        over-matches ~num_buckets-fold, since every bucket holds a uniform
+        key sample).  The result is a *superset projection*: it contains
+        every row whose key is listed, plus incidental rows sharing a
+        surviving file — callers must filter/semi-join to exact keys.
+        Deltas are never pruned (bounded by compaction).
         """
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         cur = snap.schema
         key = snap.key_cols
         empty = self.spark.createDataFrame([], _physical(cur) if with_internal else cur)
-        base = self._read_parts(snap, buckets, {"base"})
-        delta = self._read_parts(snap, buckets, {"delta"})
+        if key_set is None:
+            base_entries = self._selected_entries(snap, buckets, {"base"})
+        else:
+            want = None if buckets is None else {str(b) for b in buckets}
+            base_entries = []
+            for b, entries in snap.files.items():
+                if want is not None and b not in want:
+                    continue
+                ents = [e for e in entries if e.get("kind", "base") == "base"]
+                ks = key_set.get(b, []) if isinstance(key_set, dict) else key_set
+                base_entries.extend(prune_entries_by_keys(ents, ks))
+        base = self._read_parts(snap, buckets, {"base"}, entries=base_entries)
+        delta_entries = self._selected_entries(snap, buckets, {"delta"})
+        delta = self._read_parts(snap, buckets, {"delta"}, entries=delta_entries)
         internal = [COMMIT_COL, DEAD_COL]
 
         if delta is not None:
@@ -277,9 +358,10 @@ class LakeTable:
             )
             alive = delta.filter(~F.coalesce(F.col(DEAD_COL), F.lit(False)))
             if base is not None:
-                merged = base.join(F.broadcast(delta.select(*key)), key, "left_anti").unionByName(
-                    alive
-                )
+                delta_keys = delta.select(*key)
+                if self._entries_bytes(delta_entries) <= BROADCAST_DELTA_MAX_BYTES:
+                    delta_keys = F.broadcast(delta_keys)
+                merged = base.join(delta_keys, key, "left_anti").unionByName(alive)
             else:
                 merged = alive
         elif base is not None:
@@ -291,22 +373,36 @@ class LakeTable:
     # ------------------------------------------------------------- write
 
     def write_data_files(
-        self, df: DataFrame, kind: str = "delta", bucket_col: str = "_bucket"
+        self,
+        df: DataFrame,
+        kind: str = "delta",
+        bucket_col: str = "_bucket",
+        max_records_per_file: int = 0,
     ) -> dict[str, list[dict]]:
         """Write df as parquet partitioned by bucket under a fresh data
         subdir; returns bucket -> file entries tagged ``kind``.
 
         df must carry ``bucket_col`` plus the logical columns and the
         physical bookkeeping columns (_commit long, _dead boolean).
+
+        Base files additionally get key zone maps (key_min/key_max) in
+        their entries — computed with one distributed pass over the
+        just-written files (compaction-path only, never per epoch), they
+        let lookups prune files by key range (see ``read``).
+        ``max_records_per_file`` bounds rows per file so sorted bases
+        split into fine-grained zones.
         """
         snap = self.current_snapshot()
         phys = _physical(snap.schema)
         sub = f"snap-{uuid.uuid4().hex}"
         out = os.path.join(self.path, DATA_DIR, sub)
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in phys.fields]
-        df.select(F.col(bucket_col), *cols).write.partitionBy(bucket_col).mode(
+        writer = df.select(F.col(bucket_col), *cols).write.partitionBy(bucket_col).mode(
             "overwrite"
-        ).parquet(out)
+        )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(out)
         files: dict[str, list[dict]] = {}
         for entry in sorted(os.listdir(out)):
             if not entry.startswith(f"{bucket_col}="):
@@ -315,14 +411,40 @@ class LakeTable:
             d = os.path.join(out, entry)
             for fn in sorted(os.listdir(d)):
                 if fn.endswith(".parquet"):
+                    p = os.path.join(d, fn)
                     files.setdefault(b, []).append(
                         {
-                            "path": os.path.join(d, fn),
+                            "path": p,
                             "schema_version": snap.schema_version,
                             "kind": kind,
+                            "bytes": os.path.getsize(p),
                         }
                     )
+        if kind == "base":
+            self._attach_zone_maps(snap.key_cols[0], files)
         return files
+
+    def _attach_zone_maps(self, key: str, files: dict[str, list[dict]]) -> None:
+        """One distributed min/max-per-file pass over freshly written base
+        files; keyed by basename (unique within one write)."""
+        paths = [e["path"] for v in files.values() for e in v]
+        if not paths:
+            return
+        zones = {
+            os.path.basename(r["f"]): (r["kmin"], r["kmax"])
+            for r in (
+                self.spark.read.parquet(*paths)
+                .select(F.input_file_name().alias("f"), F.col(key).alias("k"))
+                .groupBy("f")
+                .agg(F.min("k").alias("kmin"), F.max("k").alias("kmax"))
+                .collect()
+            )
+        }
+        for v in files.values():
+            for e in v:
+                z = zones.get(os.path.basename(e["path"]))
+                if z is not None:
+                    e["key_min"], e["key_max"] = z
 
     def commit(
         self,
@@ -364,20 +486,36 @@ class LakeTable:
 
     # ------------------------------------------------------------- compaction
 
-    def compact(self, buckets: list[int], summary: dict | None = None) -> Snapshot | None:
+    def compact(
+        self,
+        buckets: list[int],
+        summary: dict | None = None,
+        max_records_per_file: int = 0,
+    ) -> Snapshot | None:
         """Fold a bucket's deltas into a fresh base generation (keys unique,
         tombstones dropped, per-row _commit preserved so a concurrent
         time-travel read of the *new* snapshot is value-identical).  Sorted
-        by key for parquet min/max locality on future lookups."""
+        by key so each base file covers a tight disjoint key range — the
+        zone maps recorded per file are what make point-lookup file pruning
+        (read(key_set=...)) effective."""
         if not buckets:
             return None
         merged = self.read(buckets=buckets, with_internal=True)
         snap = self.current_snapshot()
         key = snap.key_cols[0]
-        bucketed = merged.withColumn("_bucket", self.bucket_expr()).sortWithinPartitions(
-            "_bucket", key
+        # One task per bucket: each bucket's base is a run of key-sorted
+        # files with disjoint key ranges (tight zone maps) and the file
+        # count stays O(buckets x rows/max_records_per_file).  At extreme
+        # bucket sizes the in-bucket split would be range-partitioned for
+        # parallelism; bucket-aligned tasks are the right default.
+        bucketed = (
+            merged.withColumn("_bucket", self.bucket_expr())
+            .repartition(snap.num_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", key)
         )
-        files = self.write_data_files(bucketed, kind="base")
+        files = self.write_data_files(
+            bucketed, kind="base", max_records_per_file=max_records_per_file
+        )
         replaced = {str(b) for b in buckets}
         # a bucket whose rows were all tombstoned produces no file: still
         # replace it so the stale deltas are dropped from the snapshot.

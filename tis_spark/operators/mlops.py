@@ -119,12 +119,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("n_bands").agg(F.count("*").alias("n_candidate_pairs"))
 
 
+# Document-frequency cap for the inverted-index self-join: a token seen in
+# more than this many documents contributes df^2 candidate pairs (stopwords,
+# boilerplate), which is effectively all-pairs at web scale.  Capped tokens
+# are excluded from the token universe on BOTH engines, so the Jaccard is
+# over the discriminative-token set — the standard df-capped approximation.
+NGRAM_DF_CAP = 100
+
+
 @query(
     "dedup_ngram_jaccard",
-    """
-    WITH dt AS (
+    f"""
+    WITH dt0 AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
+    rare AS (SELECT tok FROM dt0 GROUP BY tok HAVING count(*) <= {NGRAM_DF_CAP}),
+    dt AS (SELECT dt0.doc_id, dt0.tok FROM dt0 JOIN rare USING (tok)),
     sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
@@ -137,10 +147,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard similarity histogram over all candidate pairs
-    (pairs sharing >=1 token).  The inverted-index join (dt self-join on
-    tok) is the scalable formulation: shuffle on token, not O(n^2) docs."""
-    dt = _tokens(load(spark, sf_dir, "documents"))
+    """Token-set Jaccard similarity histogram over candidate pairs (pairs
+    sharing >=1 discriminative token).  The inverted-index join (dt
+    self-join on tok) shuffles on token, not O(n^2) docs — and the df cap
+    bounds the per-token pair fan-out at df^2 <= NGRAM_DF_CAP^2, so no hot
+    token (stopword / boilerplate) can explode the candidate set at scale."""
+    dt0 = _tokens(load(spark, sf_dir, "documents"))
+    rare = dt0.groupBy("tok").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= NGRAM_DF_CAP
+    )
+    dt = dt0.join(rare.select("tok"), "tok", "left_semi")
     sz = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = dt.alias("a")
     b = dt.alias("b")
@@ -184,41 +200,43 @@ FROM bits GROUP BY doc_id
 @query("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document from md5 nibbles (portable bit
-    arithmetic: instr-based hex decode, floor/power bit extraction)."""
+    arithmetic identical to the DuckDB spec above).
+
+    Single-aggregate formulation: each (doc, token) row projects its 64
+    +/-1 bit contributions as columns, then ONE groupBy(doc_id) sums them
+    (partial aggregation map-side).  Equivalent to the two-crossJoin /
+    64-row-blow-up shape but shuffles the token table once at ~64 longs of
+    partial-agg state per doc, not 64x the exploded rows."""
     dt = _tokens(load(spark, sf_dir, "documents"))
-    nib = dt.crossJoin(spark.range(0, 16).select(F.col("id").cast("int").alias("p"))).select(
+    h = dt.select("doc_id", F.md5("tok").alias("h"))
+    # v_p = value of hex nibble p; bit j of v_p contributes +1/-1 to w[p,j].
+    contrib = h.select(
         "doc_id",
-        "p",
-        (
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.expr("substr(md5(tok), p + 1, 1)"),
+        *[
+            F.when(
+                F.shiftright(
+                    F.instr(F.lit("0123456789abcdef"), F.substring("h", p + 1, 1)) - 1, j
+                ).bitwiseAND(1)
+                == 1,
+                1,
             )
-            - 1
-        ).alias("v"),
+            .otherwise(-1)
+            .alias(f"s_{p}_{j}")
+            for p in range(16)
+            for j in range(4)
+        ],
     )
-    bits = (
-        nib.crossJoin(spark.range(0, 4).select(F.col("id").cast("int").alias("j")))
-        .select(
-            "doc_id",
-            "p",
-            "j",
-            F.when(F.expr("CAST(floor(v / power(2, j)) AS INT) % 2") == 1, 1).otherwise(-1).alias("s"),
-        )
-        .groupBy("doc_id", "p", "j")
-        .agg(F.sum("s").alias("w"))
+    sums = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"s_{p}_{j}").alias(f"w_{p}_{j}") for p in range(16) for j in range(4)]
     )
-    return bits.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("p", "j", F.when(F.col("w") > 0, "1").otherwise("0").alias("b")))
-                ),
-                lambda x: x["b"],
-            ),
-            "",
-        ).alias("simhash64")
+    bitstr = F.concat(
+        *[
+            F.when(F.col(f"w_{p}_{j}") > 0, "1").otherwise("0")
+            for p in range(16)
+            for j in range(4)
+        ]
     )
+    return sums.select("doc_id", bitstr.alias("simhash64"))
 
 
 # ---------------------------------------------------------------- similarity
@@ -275,20 +293,36 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-list cap: an inverted list of size m costs m^2/2 pairs; a skewed
+# clustering (one giant list) degenerates to all-pairs.  Lists above the cap
+# are excluded on BOTH engines.  The production path for a capped list is
+# re-clustering (split the list and recurse), not comparison.
+IVF_LIST_CAP = 10_000
+
+
 @query(
     "ann_ivf_blocked",
     f"""
     SELECT a.label, count(*) AS n_pairs, max({_COS_EXPR}) AS max_cos
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.label IN (
+      SELECT label FROM embeddings GROUP BY label HAVING count(*) <= {IVF_LIST_CAP}
+    )
     GROUP BY a.label
     """,
 )
 def ann_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style blocked similarity: pairs are only compared within a
     coarse partition (label = the inverted-list id), the scale path that
-    avoids the O(n^2) cross join."""
+    avoids the O(n^2) cross join.  Lists larger than IVF_LIST_CAP are
+    excluded (they need re-clustering, not within-list comparison) so one
+    hot list cannot reintroduce the quadratic blow-up."""
     emb = load(spark, sf_dir, "embeddings")
+    ok = emb.groupBy("label").agg(F.count("*").alias("m")).filter(
+        F.col("m") <= IVF_LIST_CAP
+    )
+    emb = emb.join(ok.select("label"), "label", "left_semi")
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -460,9 +494,9 @@ _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("fmt", T.StringType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
     ]
 )
 
@@ -485,7 +519,33 @@ def _decode_batch(iterator):
         )
 
 
-@query("multimodal_decode_stub")  # no SQL oracle: mapInPandas plumbing check
+@query(
+    "multimodal_decode_stub",
+    # The stub's fake decode is pure byte arithmetic over the blob (first /
+    # last byte), so it IS SQL-expressible: decode the bytes from the blob's
+    # hex representation.  This verifies the mapInPandas plumbing (binary in,
+    # Arrow batches, typed struct out) end-to-end against an oracle.
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             (instr('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+               + instr('0123456789ABCDEF', substr(hx, 2, 1)) - 1 AS b0,
+             (instr('0123456789ABCDEF', substr(hx, n * 2 - 1, 1)) - 1) * 16
+               + instr('0123456789ABCDEF', substr(hx, n * 2, 1)) - 1 AS bl
+      FROM b
+    )
+    SELECT doc_id,
+           CASE WHEN b0 % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(64 + (b0 % 8) * 16 AS BIGINT) AS width,
+           CAST(64 + (bl % 8) * 16 AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_frames
+    FROM v
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("blob")

@@ -322,16 +322,25 @@ def fn_split_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_round_half_up",
     """
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount), 1) AS net_price
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 1) AS DOUBLE) AS net_price
     FROM lineitem
     """,
 )
 def fn_round_half_up(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """round HALF_UP (FunctionUtils.java:199-204)."""
+    """round HALF_UP (FunctionUtils.java:199-204).
+
+    The arithmetic runs in DECIMAL on both engines: a double product that
+    lands just below a decimal tie (e.g. 65947.5 * 0.94) rounds differently
+    between Spark (BigDecimal.valueOf shortest-rep) and DuckDB otherwise.
+    Decimal inputs make the tie exact, so HALF_UP agrees bit-for-bit."""
+    net = F.round(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")),
+        1,
+    ).cast("double")
     return load(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1).alias("net_price"),
+        "l_orderkey", "l_linenumber", net.alias("net_price")
     )
 
 
