@@ -1,0 +1,149 @@
+"""ER / topology spec — the declarative "catalog" a user authors to define
+a multi-table wide-row pipeline (reference §1.3: dataflows persisted as
+node YAML + er_rules.yaml, SqlTaskNodeMeta.java:86-96,320-362;
+ERRules.java:56-77; TableRelation.java:38-60; PrimaryTableMeta.java:32-60 —
+all relative to /root/reference/tis-sql-parser/src/main/java/com/qlangtech/
+tis/sql/parser).
+
+The spec captures exactly what the reference's ER rules capture:
+
+* per-table metadata: primary key, LWW version column (``timeVersionCol``),
+  and whether changes on the table trigger incremental maintenance
+  (``monitor=False`` == the reference's ``ignoreIncrTrigger`` lookup dims,
+  AliasList.java:307);
+* parent/child relations with join keys and cardinality (1:1 | 1:n);
+* the primary (index) table and its shard/router key (``sharedKey``).
+
+``chain_to_primary`` is the FK-chain resolution of
+FlatTableRelation.isLinkable/getFinalLinkKey (FlatTableRelation.java:
+176-210): the relation path a child event's key must traverse — via joins
+against current source-table state — to reach the primary PK it affects.
+
+Serialization is plain JSON (round-trippable dicts), the Spark-side stand-
+in for the reference's YAML topology files.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+_TYPE_MAP = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+@dataclass
+class TableMeta:
+    name: str
+    pk: str
+    version_col: str  # LWW column (reference modify_time / timeVersionCol)
+    columns: dict[str, str] = field(default_factory=dict)  # name -> type str
+    monitor: bool = True  # False == ignoreIncrTrigger (lookup-only dim)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(n, _TYPE_MAP[t], n != self.pk) for n, t in self.columns.items()]
+        )
+
+
+@dataclass
+class Relation:
+    parent: str
+    child: str
+    parent_key: str  # join column on parent
+    child_key: str  # join (FK) column on child
+    cardinality: str = "1:n"  # '1:1' | '1:n' (TabCardinality.java:23-25)
+
+
+@dataclass
+class ERSpec:
+    primary: str
+    shared_key: str  # router/shard key on the primary (PrimaryTableMeta)
+    tables: dict[str, TableMeta]
+    relations: list[Relation]
+
+    def __post_init__(self):
+        assert self.primary in self.tables, self.primary
+        for r in self.relations:
+            assert r.parent in self.tables and r.child in self.tables, r
+            assert r.cardinality in ("1:1", "1:n"), r
+
+    # ------------------------------------------------------------- queries
+
+    def monitored(self) -> list[TableMeta]:
+        return [t for t in self.tables.values() if t.monitor]
+
+    def children_of(self, table: str) -> list[Relation]:
+        return [r for r in self.relations if r.parent == table]
+
+    def parent_relation(self, table: str) -> Relation | None:
+        rels = [r for r in self.relations if r.child == table]
+        assert len(rels) <= 1, f"{table}: multiple parents unsupported"
+        return rels[0] if rels else None
+
+    def chain_to_primary(self, table: str) -> list[Relation]:
+        """Relation path child -> ... -> primary (empty for the primary
+        itself).  Mirrors FlatTableRelation.getFinalLinkKey: each hop is a
+        join from the child's FK to its parent's key until the primary."""
+        chain: list[Relation] = []
+        cur = table
+        seen = set()
+        while cur != self.primary:
+            assert cur not in seen, f"relation cycle at {cur}"
+            seen.add(cur)
+            rel = self.parent_relation(cur)
+            assert rel is not None, f"{table}: no path to primary {self.primary}"
+            chain.append(rel)
+            cur = rel.parent
+        return chain
+
+    # ------------------------------------------------------------- serde
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "primary": self.primary,
+                "shared_key": self.shared_key,
+                "tables": {
+                    n: {
+                        "pk": t.pk,
+                        "version_col": t.version_col,
+                        "columns": t.columns,
+                        "monitor": t.monitor,
+                    }
+                    for n, t in self.tables.items()
+                },
+                "relations": [
+                    {
+                        "parent": r.parent,
+                        "child": r.child,
+                        "parent_key": r.parent_key,
+                        "child_key": r.child_key,
+                        "cardinality": r.cardinality,
+                    }
+                    for r in self.relations
+                ],
+            },
+            indent=2,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "ERSpec":
+        d = json.loads(s)
+        return ERSpec(
+            primary=d["primary"],
+            shared_key=d["shared_key"],
+            tables={
+                n: TableMeta(name=n, **{k: v for k, v in t.items()})
+                for n, t in d["tables"].items()
+            },
+            relations=[Relation(**r) for r in d["relations"]],
+        )

@@ -1,0 +1,360 @@
+"""WideRowPipeline — multi-table incremental wide-row maintenance.
+
+This is the Spark-native re-expression of the reference's core product:
+keep a denormalized wide table continuously consistent with a star of
+OLTP source tables under a binlog change stream (reference generated
+listeners, e.g. tis-dag/src/test/resources/.../S4totalpayListener.scala;
+semantics verified against the golden test
+tis-realtime-base/src/test/java/.../TestS4totalpayIncr.java:80-143).
+
+Where the reference processes one event at a time (per-PK lookup RPCs +
+in-JVM re-aggregation), everything here is set-oriented per micro-batch:
+
+1. **Source maintenance** (reference row packs + isRecordDirty,
+   SingleDimensionsRowPack.java:43-58): per monitored table, coalesce the
+   batch to the max-(version, seq) event per PK (V1), drop events not
+   newer than the stored version (V3 LWW: old >= new is dirty), and
+   append the winners as merge-on-read deltas to the table's own
+   LakeTable.  Idempotent under redelivery: a re-applied event compares
+   equal to the stored version and drops as dirty, so crash-replay of an
+   epoch whose source commits landed but whose wide commit didn't cannot
+   double-apply.
+2. **FK-chain routing** (J6, FlatTableRelation.isLinkable/getFinalLinkKey
+   FlatTableRelation.java:176-210 + CompositePK creation): each child
+   event maps to the primary PKs it affects — the after-image FK, plus
+   the *stored* FK of the touched row (so re-parented or deleted children
+   re-derive BOTH old and new parent; the reference does this via the
+   stored-doc lookup J4).  Chains deeper than one hop climb via joins
+   against post-merge source state.  All of it is joins — no per-row
+   lookups.
+3. **Restricted recomputation** (A2/A5 re-aggregation,
+   S4totalpayListener.scala:436-481): the user's wide query (the JOIN
+   node SQL of the topology) runs over sources semi-join-restricted to
+   the affected PKs — per-epoch cost is O(affected keys x their
+   children), never O(table).  Affected PKs whose primary row disappeared
+   become tombstones.
+4. **Versioned swap-in**: recomputed rows append as deltas to the wide
+   LakeTable in one atomic epoch-fenced commit (exactly-once, C10);
+   per-table event counts ride the commit summary (C6
+   ``tableUpdateCount`` parity).
+
+Scale notes: every stored-side read is restricted by a semi-join on the
+batch's keys before any aggregation; the same zone-map key pruning the
+pages CDC sink uses (LakeTable.read(key_set=...)) applies when batches
+are trigger-sized.  Dim tables (monitor=False) join unrestricted — they
+are broadcast-sized by construction; at larger dim cardinality they
+would be semi-join-restricted through their referencing keys the same
+way.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+from tis_spark.wide.er import ERSpec
+
+
+class WideRowPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        spec: ERSpec,
+        wide_fn,
+        delete_policy: str = "ignore",  # V8: reference ignores deletes
+        num_buckets: int = 8,
+        compact_threshold: int = 8,
+    ):
+        self.spark = spark
+        self.root = root
+        self.spec = spec
+        self.wide_fn = wide_fn
+        self.delete_policy = delete_policy
+        self.num_buckets = num_buckets
+        self.compact_threshold = compact_threshold
+        self.sources: dict[str, LakeTable] = {}
+        self.wide: LakeTable | None = None
+        if LakeTable.exists(os.path.join(root, "wide")):
+            self.wide = LakeTable.load(spark, os.path.join(root, "wide"))
+            for name in spec.tables:
+                self.sources[name] = LakeTable.load(spark, self._src_path(name))
+
+    def _src_path(self, name: str) -> str:
+        return os.path.join(self.root, "sources", name)
+
+    # ------------------------------------------------------------- full build
+
+    def _write_full(self, lake: LakeTable, df: DataFrame) -> None:
+        snap = lake.current_snapshot()
+        key = snap.key_cols[0]
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema.fields
+        ]
+        bucketed = (
+            df.select(*cols)
+            .withColumn(COMMIT_COL, F.lit(0).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+            .withColumn("_bucket", lake.bucket_expr())
+            .repartition(snap.num_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", key)
+        )
+        files = lake.write_data_files(bucketed, kind="base")
+        lake.commit(
+            files,
+            replaced_buckets={str(b) for b in range(snap.num_buckets)},
+            summary={"full_build": True},
+        )
+
+    def full_build(self, source_dfs: dict[str, DataFrame]) -> None:
+        """Dump + JOIN + swap (reference 4-phase full build, SURVEY §3.1):
+        materialize every source table and the wide table from scratch."""
+        for name, meta in self.spec.tables.items():
+            lake = LakeTable.create(
+                self.spark,
+                self._src_path(name),
+                meta.schema,
+                key_cols=[meta.pk],
+                version_col=meta.version_col,
+                num_buckets=self.num_buckets,
+            )
+            self._write_full(lake, source_dfs[name])
+            self.sources[name] = lake
+        wide_df = self.wide_fn({n: t.read() for n, t in self.sources.items()})
+        pk = self.spec.tables[self.spec.primary].pk
+        assert pk in wide_df.columns, f"wide_fn output must carry {pk}"
+        self.wide = LakeTable.create(
+            self.spark,
+            os.path.join(self.root, "wide"),
+            wide_df.schema,
+            key_cols=[pk],
+            version_col="version" if "version" in wide_df.columns else pk,
+            num_buckets=self.num_buckets,
+        )
+        self._write_full(self.wide, wide_df)
+
+    # ------------------------------------------------------------- helpers
+
+    def _typed_after(self, ev: DataFrame, name: str) -> DataFrame:
+        """Stringly-typed after-image map -> typed columns per the ER spec
+        (the reference's lazy Map<String,String> typed access,
+        DefaultTable.getInt/getLong/... DefaultTable.java:140-193)."""
+        meta = self.spec.tables[name]
+        cols = [
+            F.col("after")[c].cast(t.dataType).alias(c)
+            for c, t in zip(meta.columns, meta.schema.fields)
+        ]
+        return ev.select("seq", "op", F.col("pk"), *cols)
+
+    # ------------------------------------------------------------- epoch
+
+    def process_epoch(self, events: DataFrame, epoch_id: int) -> dict:
+        assert self.wide is not None, "full_build first"
+        last = self.wide.last_epoch_id()
+        if last is not None and epoch_id <= last:
+            return {"epoch_id": epoch_id, "skipped": True}
+
+        # one light pass for per-table lineage counters (C6 parity)
+        table_counts = {
+            r["table"]: r["count"]
+            for r in events.groupBy("table").count().collect()
+        }
+
+        route_parts: list[DataFrame] = []  # DataFrames of affected chain keys
+        primary_meta = self.spec.tables[self.spec.primary]
+        ppk = primary_meta.pk
+
+        # Topological order (parents before children): a child's multi-hop
+        # routing joins post-merge parent state, so a same-epoch parent
+        # insert must be committed before the child's chain climb binds.
+        monitored = sorted(
+            self.spec.monitored(), key=lambda m: len(self.spec.chain_to_primary(m.name))
+        )
+        for meta in monitored:
+            name = meta.name
+            if not table_counts.get(name):
+                continue
+            ev = events.filter(F.col("table") == name)
+            if self.delete_policy == "ignore":
+                ev = ev.filter(F.col("op") != "D")  # V8: deletes are no-ops
+            typed = self._typed_after(ev, name)
+            # V1 per-PK coalescing: max-(version, seq) event wins the batch
+            w = Window.partitionBy("pk").orderBy(
+                F.desc(meta.version_col), F.desc("seq")
+            )
+            latest = (
+                typed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            lake = self.sources[name]
+            touched = latest.select(F.col("pk").alias(meta.pk)).distinct()
+            # pre-merge stored rows of touched PKs: LWW reference version +
+            # (for children) the old FK for routing.  Bound before commit,
+            # so the plan pins the pre-epoch snapshot's files.
+            rel = self.spec.parent_relation(name)
+            stored_cols = [
+                F.col(meta.pk).alias("_s_pk"),
+                F.col(meta.version_col).alias("_s_ver"),
+            ]
+            if rel is not None:
+                stored_cols.append(F.col(rel.child_key).alias("_s_fk"))
+            stored = (
+                lake.read()
+                .join(touched, meta.pk, "left_semi")
+                .select(*stored_cols)
+            )
+            joined = latest.join(
+                stored, latest.pk == stored._s_pk, "left"
+            ).drop("_s_pk")
+            newer = F.col("_s_ver").isNull() | (
+                F.col(meta.version_col) > F.col("_s_ver")
+            )
+            upserts = joined.filter((F.col("op") != "D") & newer).select(
+                *[F.col(c) for c in meta.columns],
+                F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+                F.lit(False).alias(DEAD_COL),
+            )
+            if self.delete_policy == "delete":
+                dels = joined.filter(
+                    (F.col("op") == "D") & F.col("_s_ver").isNotNull()
+                ).select(
+                    F.col("pk").alias(meta.pk),
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in meta.schema.fields
+                        if f.name != meta.pk
+                    ],
+                    F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+                    F.lit(True).alias(DEAD_COL),
+                )
+                delta = upserts.unionByName(dels)
+            else:
+                delta = upserts
+            delta = delta.withColumn("_bucket", lake.bucket_expr()).repartition(
+                self.num_buckets, F.col("_bucket")
+            )
+            files = lake.write_data_files(delta, kind="delta")
+            lake.commit(files, summary={"epoch_id": epoch_id})
+
+            # routing keys (J6): after-image FK + stored FK (old parent)
+            if name == self.spec.primary:
+                route_parts.append(touched.select(F.col(ppk).alias("_k")))
+            else:
+                chain = self.spec.chain_to_primary(name)
+                fk_new = latest.select(F.col(chain[0].child_key).alias("_k"))
+                fk_old = stored.select(F.col("_s_fk").alias("_k"))
+                keys = fk_new.unionByName(fk_old).filter(F.col("_k").isNotNull())
+                # climb the remaining hops via post-merge parent state
+                for hop in chain[1:]:
+                    parent_meta = self.spec.tables[hop.child]  # intermediate
+                    inter = self.sources[hop.child].read().select(
+                        F.col(parent_meta.pk).alias("_pk"),
+                        F.col(hop.child_key).alias("_up"),
+                    )
+                    keys = (
+                        keys.join(inter, keys._k == inter._pk)
+                        .select(F.col("_up").alias("_k"))
+                        .filter(F.col("_k").isNotNull())
+                    )
+                route_parts.append(keys)
+
+        if not route_parts:
+            self.wide.commit({}, summary={"epoch_id": epoch_id, "tables": table_counts})
+            return {"epoch_id": epoch_id, "n_affected": 0, "tables": table_counts}
+
+        affected = (
+            reduce(DataFrame.unionByName, route_parts)
+            .distinct()
+            .select(F.col("_k").alias(ppk))
+        )
+
+        # restricted recomputation over post-merge source state
+        src = {n: t.read() for n, t in self.sources.items()}
+        restricted: dict[str, DataFrame] = dict(src)
+        restricted[self.spec.primary] = src[self.spec.primary].join(
+            affected, ppk, "left_semi"
+        )
+        pending = [r for r in self.spec.relations]
+        done = {self.spec.primary}
+        while pending:
+            progress = False
+            for r in list(pending):
+                if r.parent in done:
+                    parent_keys = restricted[r.parent].select(
+                        F.col(r.parent_key).alias(r.child_key)
+                    )
+                    restricted[r.child] = src[r.child].join(
+                        parent_keys, r.child_key, "left_semi"
+                    )
+                    done.add(r.child)
+                    pending.remove(r)
+                    progress = True
+            assert progress, f"unresolvable relation order: {pending}"
+
+        wide_new = self.wide_fn(restricted)
+        wsnap = self.wide.current_snapshot()
+        upserts = wide_new.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in wsnap.schema.fields],
+            F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+            F.lit(False).alias(DEAD_COL),
+        )
+        tombstones = affected.join(wide_new.select(ppk), ppk, "left_anti").select(
+            F.col(ppk),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in wsnap.schema.fields
+                if f.name != ppk
+            ],
+            F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+            F.lit(True).alias(DEAD_COL),
+        )
+        delta = (
+            upserts.unionByName(tombstones)
+            .withColumn("_bucket", self.wide.bucket_expr())
+            .repartition(self.num_buckets, F.col("_bucket"))
+        )
+        files = self.wide.write_data_files(delta, kind="delta")
+        n_affected = affected.count()
+        self.wide.commit(
+            files,
+            summary={
+                "epoch_id": epoch_id,
+                "n_affected": n_affected,
+                "tables": table_counts,
+            },
+        )
+        self._maybe_compact()
+        return {"epoch_id": epoch_id, "n_affected": n_affected, "tables": table_counts}
+
+    def _maybe_compact(self) -> None:
+        for lake in [*self.sources.values(), self.wide]:
+            due = [
+                int(b)
+                for b, n in lake.current_snapshot().delta_counts().items()
+                if n >= self.compact_threshold
+            ]
+            if due:
+                lake.compact(sorted(due))
+
+    # ------------------------------------------------------------- replay
+
+    def replay(self, events: DataFrame, epoch_size: int = 500) -> list[dict]:
+        bounds = events.agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).first()
+        if bounds["lo"] is None:
+            return []
+        stats = []
+        for ep in range(int(bounds["lo"]) // epoch_size, int(bounds["hi"]) // epoch_size + 1):
+            batch = events.filter(
+                (F.col("seq") >= ep * epoch_size) & (F.col("seq") < (ep + 1) * epoch_size)
+            )
+            stats.append(self.process_epoch(batch, ep))
+        return stats
+
+    def final_wide(self) -> DataFrame:
+        return self.wide.read()
