@@ -150,6 +150,24 @@ def test_full_build_then_incremental_matches_oracle(spark, tmp_table_dir):
     assert final.filter(F.col("url").startswith("https://boot.")).count() == 300
 
 
+def test_full_build_exact_dedup(spark, tmp_table_dir):
+    """dedup-before-merge: identical-content documents collapse to the
+    lowest-url representative during the bootstrap build."""
+    base = _mini_pages(spark, 40)
+    dupes = _mini_pages(spark, 40).select(
+        F.concat(F.lit("https://mirror.example.org/"), F.col("url")).alias("url"),
+        "warc_ts",
+        "html",
+        "lang",
+    )
+    ing = CdcIngest(spark, tmp_table_dir, CdcConfig(fold_parallelism=8))
+    ing.full_build(base.unionByName(dupes), dedup="exact")
+    final = ing.final_state()
+    assert final.count() == 40
+    # deterministic representative: 'https://boot...' sorts before mirror
+    assert final.filter(F.col("url").startswith("https://mirror.")).count() == 0
+
+
 # ---------------------------------------------------------------- sink retry
 
 

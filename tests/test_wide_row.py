@@ -134,6 +134,35 @@ def test_exactly_once_redelivery(replayed, spark):
     _assert_wide_equal(_final_pdf(pipe2), expected_wide(state))
 
 
+def test_delete_policy_removes_child_aggregates(spark, tmp_path_factory):
+    """delete_policy='delete': a deleted payinfo row leaves its parent's
+    aggregates; a deleted primary row tombstones the wide row."""
+    root = str(tmp_path_factory.mktemp("wide-del"))
+    spec = totalpay_spec()
+    pipe = WideRowPipeline(spark, root, spec, totalpay_wide, delete_policy="delete")
+    pipe.full_build(initial_tables_spark(spark, 20))
+    before = _final_pdf(pipe).set_index("totalpay_id")
+    target = "tp000003"
+    n_before = int(before.loc[target, "n_pay"])
+    assert n_before >= 1
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"seq": 1, "op": "D", "table": "payinfo", "pk": "pay000003_0",
+                 "before": None, "after": None, "epoch_hint": 0},
+                {"seq": 2, "op": "D", "table": "totalpayinfo", "pk": "tp000005",
+                 "before": None, "after": None, "epoch_hint": 0},
+            ]
+        ),
+        schema=gen_star_changes(spark, 1, 1).schema,
+    )
+    pipe.process_epoch(ev, 0)
+    after = _final_pdf(pipe).set_index("totalpay_id")
+    assert int(after.loc[target, "n_pay"]) == n_before - 1
+    assert "tp000005" not in after.index  # primary tombstoned
+    assert len(after) == len(before) - 1
+
+
 def test_er_spec_roundtrip_and_chain():
     spec = totalpay_spec()
     rt = ERSpec.from_json(spec.to_json())

@@ -38,7 +38,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -267,7 +267,7 @@ class CdcIngest:
 
     # ------------------------------------------------------------- full build
 
-    def full_build(self, pages: DataFrame) -> Snapshot:
+    def full_build(self, pages: DataFrame, dedup: str | None = None) -> Snapshot:
         """Batch full build + atomic swap-in (reference 4-phase full-build,
         SURVEY §3.1: FullDump -> JOIN -> BUILD -> swap,
         FullbuildPhase.java:27-29 / WorkflowDumpAndJoinInterceptor.java:48-96
@@ -278,11 +278,28 @@ class CdcIngest:
         phase).  Every bucket's base generation is rewritten and swapped in
         a single atomic commit — readers see the old table until the
         publish, then the new one (the reference's index swap).  Subsequent
-        incremental epochs apply on top (bootstrap-then-tail)."""
+        incremental epochs apply on top (bootstrap-then-tail).
+
+        ``dedup="exact"`` wires content deduplication into the build (the
+        dedup-before-merge stage of a crawl ingest): documents with the
+        same normalized-text fingerprint collapse to one representative
+        (lowest url for determinism).  Hash-partitioned groupBy on the
+        fingerprint — embarrassingly parallel, the same plan as the
+        ``dedup_exact``/``text_fingerprint`` operators; near-dup variants
+        (MinHash/SimHash, operators/mlops.py) slot in as an extra stage
+        the same way."""
         snap = self.table.current_snapshot()
         df = pages
         if "text" not in df.columns:
             df = df.withColumn("text", extract_text_udf(F.col("html")))
+        if dedup == "exact":
+            fp = F.xxhash64(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+            w = Window.partitionBy(fp).orderBy(F.col("url"))
+            df = df.withColumn("_fp_rn", F.row_number().over(w)).filter(
+                F.col("_fp_rn") == 1
+            ).drop("_fp_rn")
+        elif dedup is not None:
+            raise ValueError(f"unknown dedup mode: {dedup}")
         cols = []
         for fld in snap.schema.fields:
             src = F.col(fld.name) if fld.name in df.columns else F.lit(None)

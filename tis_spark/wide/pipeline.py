@@ -183,10 +183,19 @@ class WideRowPipeline:
             if self.delete_policy == "ignore":
                 ev = ev.filter(F.col("op") != "D")  # V8: deletes are no-ops
             typed = self._typed_after(ev, name)
-            # V1 per-PK coalescing: max-(version, seq) event wins the batch
-            w = Window.partitionBy("pk").orderBy(
-                F.desc(meta.version_col), F.desc("seq")
+            # V1 per-PK coalescing: max-(version, seq) event wins the batch.
+            # DELETEs carry no after-image version; under delete_policy=
+            # 'delete' they rank at +inf so a delete beats same-batch
+            # updates (limitation: a re-insert AFTER a delete within one
+            # epoch also resolves to the delete — split epochs if that
+            # ordering matters; the reference's observed listeners ignore
+            # deletes entirely, the default here).
+            rank_ver = (
+                F.coalesce(F.col(meta.version_col), F.lit(2**62).cast("long"))
+                if self.delete_policy == "delete"
+                else F.col(meta.version_col)
             )
+            w = Window.partitionBy("pk").orderBy(rank_ver.desc(), F.desc("seq"))
             latest = (
                 typed.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
