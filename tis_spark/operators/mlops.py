@@ -362,6 +362,84 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(bucket).groupBy("bucket").agg(F.count("*").alias("n"))
 
 
+# Embedding near-dup: candidate pairs come only from shared sign-LSH buckets
+# (never an all-pairs join); buckets above the cap are excluded — at scale the
+# plane count grows with log(n) so the expected bucket size stays constant,
+# and a degenerate hot bucket (all-zero embeddings, boilerplate pages) cannot
+# reintroduce the quadratic blow-up.  Only (id, id, rounded-cos) cross the
+# final shuffle; embeddings shuffle once, keyed by bucket.
+EMB_BUCKET_CAP = 10_000
+EMB_DEDUP_THRESHOLD = 0.30
+EMB_DEDUP_TOPN = 50
+
+_EMB_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+) + ")"
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings
+    ),
+    ok AS (
+      SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= {EMB_BUCKET_CAP}
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               4) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      JOIN ok ON a.bucket = ok.bucket
+    )
+    SELECT id_a, id_b, cos_sim FROM p
+    WHERE cos_sim >= {EMB_DEDUP_THRESHOLD}
+    ORDER BY cos_sim DESC, id_a, id_b
+    LIMIT {EMB_DEDUP_TOPN}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the strongest near-dup candidate pairs,
+    restricted to sign-LSH co-bucketed vectors (hyperplane LSH blocking).
+    Completes the dedup family (exact / MinHash+LSH / SimHash / n-gram
+    Jaccard / embedding cosine).  Scale path: bucket join + size cap per
+    the note above; orderBy+limit compiles to TakeOrderedAndProject, so
+    only top-k pairs reach the driver."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 9)
+        ]
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    ok = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") <= EMB_BUCKET_CAP)
+    )
+    b = b.join(ok.select("bucket"), "bucket", "left_semi")
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            _cos_col("a.embedding", "c.embedding").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMB_DEDUP_THRESHOLD)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(EMB_DEDUP_TOPN)
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 
 
