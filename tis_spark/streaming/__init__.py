@@ -1,1 +1,5 @@
-from tis_spark.streaming.stream import StreamingCdc, write_stream_chunks  # noqa: F401
+from tis_spark.streaming.stream import (  # noqa: F401
+    StreamingCdc,
+    StreamingWideRow,
+    write_stream_chunks,
+)

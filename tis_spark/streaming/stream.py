@@ -23,11 +23,16 @@ from tis_spark.cdc.pipeline import CdcConfig, CdcIngest
 from tis_spark.fixtures.gen import CHANGE_SCHEMA
 
 
-def write_stream_chunks(changes: DataFrame, source_dir: str, chunk_size: int = 1000) -> int:
+def write_stream_chunks(
+    changes: DataFrame,
+    source_dir: str,
+    chunk_size: int = 1000,
+    order_col: str = "delivery_key",
+) -> int:
     """Materialize a change stream as ordered parquet chunk files (the
     delivery order a binlog tail would produce). Returns chunk count."""
     os.makedirs(source_dir, exist_ok=True)
-    bounds = changes.agg(F.min("delivery_key").alias("lo"), F.max("delivery_key").alias("hi")).first()
+    bounds = changes.agg(F.min(order_col).alias("lo"), F.max(order_col).alias("hi")).first()
     if bounds["lo"] is None:
         return 0
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
@@ -35,7 +40,7 @@ def write_stream_chunks(changes: DataFrame, source_dir: str, chunk_size: int = 1
     tmp = tempfile.mkdtemp(prefix="tis-chunks-")
     for ck in range(lo // chunk_size, hi // chunk_size + 1):
         part = changes.filter(
-            (F.col("delivery_key") >= ck * chunk_size) & (F.col("delivery_key") < (ck + 1) * chunk_size)
+            (F.col(order_col) >= ck * chunk_size) & (F.col(order_col) < (ck + 1) * chunk_size)
         )
         d = os.path.join(tmp, f"c{ck}")
         part.coalesce(1).write.mode("overwrite").parquet(d)
@@ -92,3 +97,45 @@ class StreamingCdc:
 
     def final_state(self) -> DataFrame:
         return self.ingest.final_state()
+
+
+class StreamingWideRow:
+    """Structured Streaming front-end for the multi-table wide-row engine
+    (the reference's deployed shape: generated listener consuming the MQ
+    tail, S4totalpayListener / BasicRMListener).  Same contract as
+    ``StreamingCdc``: the file source stands in for the binlog tail,
+    ``foreachBatch`` drives ``WideRowPipeline.process_epoch`` with
+    Structured Streaming's batch_id as the fencing epoch, so exactly-once
+    is sink-side — checkpoint loss or a redelivered micro-batch replays
+    as a skipped epoch instead of a double-apply."""
+
+    def __init__(self, spark: SparkSession, source_dir: str, pipeline, checkpoint_dir: str):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.pipeline = pipeline
+
+    def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
+        from tis_spark.fixtures.star import STAR_CHANGE_SCHEMA
+
+        stream = (
+            self.spark.readStream.schema(STAR_CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(self.source_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.pipeline.process_epoch(df, bid)
+            )
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        done = q.awaitTermination(timeout_s) if timeout_s else (q.awaitTermination() or True)
+        if not done:
+            q.stop()
+            q.awaitTermination(60)
+        return bool(done)
+
+    def final_wide(self) -> DataFrame:
+        return self.pipeline.final_wide()
