@@ -108,3 +108,25 @@ def test_streaming_checkpoint_loss_refeed(spark, stream_source, tmp_table_dir):
     assert before.equals(after)
     # fenced batches commit nothing
     assert len(s3.ingest.table.history()) == n_snaps
+
+
+def test_parse_kafka_events_roundtrip(spark):
+    """Kafka-wire JSON envelope (binary base64, ISO timestamps) parses
+    back to the exact CHANGE_SCHEMA rows that were encoded."""
+    from tis_spark.streaming.stream import parse_kafka_events
+
+    src = gen_page_changes(spark, 200, seed=3, epoch_size=100)
+    wire = src.select(
+        F.to_json(F.struct(*src.columns)).cast("binary").alias("value"),
+        F.lit("pages-binlog").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("seq").alias("offset"),
+    )
+    back = parse_kafka_events(wire)
+    # from_json is all-nullable by construction; names/types must match
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in src.schema.fields
+    ]
+    a = src.orderBy("seq").collect()
+    b = back.orderBy("seq").collect()
+    assert a == b

@@ -52,7 +52,28 @@ def write_stream_chunks(
     return n
 
 
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka wire rows (binary key/value + topic/partition/offset) ->
+    CHANGE_SCHEMA events.  The value is a Debezium-style JSON envelope:
+    binary columns arrive base64-encoded and timestamps ISO-8601, both of
+    which Spark's JSON reader decodes natively against the typed schema —
+    pure Catalyst, no Python in the parse path."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 class StreamingCdc:
+    """``kafka=None`` (default) tails a file-source directory standing in
+    for the MQ/binlog (no broker ships in this sandbox).  Passing
+    ``kafka={"bootstrap_servers": ..., "topic": ..., "max_offsets_per_trigger": N}``
+    switches the source to ``readStream.format("kafka")`` + the same
+    ``parse_kafka_events`` transform (reference S5 MQListenerFactory; the
+    rows-per-trigger knob is C1 rate-limit parity with
+    BasicRMListener.java:171-173).  The kafka branch needs the
+    spark-sql-kafka connector jar on the cluster; only the parse transform
+    is testable here."""
+
     def __init__(
         self,
         spark: SparkSession,
@@ -60,20 +81,37 @@ class StreamingCdc:
         table_path: str,
         cfg: CdcConfig | None = None,
         checkpoint_dir: str | None = None,
+        kafka: dict | None = None,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir or os.path.join(table_path, "_checkpoint")
+        self.kafka = kafka
         self.ingest = CdcIngest(spark, table_path, cfg)
 
-    def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
-        """Process everything currently in the source dir (drain trigger).
-        Returns True if the query terminated on its own (all data done)."""
-        stream = (
+    def _make_stream(self, max_files_per_trigger: int) -> DataFrame:
+        if self.kafka is not None:
+            raw = (
+                self.spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.kafka["bootstrap_servers"])
+                .option("subscribe", self.kafka["topic"])
+                .option("startingOffsets", self.kafka.get("starting_offsets", "earliest"))
+            )
+            if self.kafka.get("max_offsets_per_trigger"):
+                raw = raw.option(
+                    "maxOffsetsPerTrigger", int(self.kafka["max_offsets_per_trigger"])
+                )
+            return parse_kafka_events(raw.load())
+        return (
             self.spark.readStream.schema(CHANGE_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(self.source_dir)
         )
+
+    def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
+        """Process everything currently in the source dir (drain trigger).
+        Returns True if the query terminated on its own (all data done)."""
+        stream = self._make_stream(max_files_per_trigger)
         q = (
             stream.writeStream.foreachBatch(
                 lambda df, bid: self.ingest.process_epoch(df, bid)
