@@ -70,6 +70,7 @@ class WideRowPipeline:
         delete_policy: str = "ignore",  # V8: reference ignores deletes
         num_buckets: int = 8,
         compact_threshold: int = 8,
+        checkpoint_intermediates: bool = True,
     ):
         self.spark = spark
         self.root = root
@@ -78,6 +79,7 @@ class WideRowPipeline:
         self.delete_policy = delete_policy
         self.num_buckets = num_buckets
         self.compact_threshold = compact_threshold
+        self.checkpoint_intermediates = checkpoint_intermediates
         self.sources: dict[str, LakeTable] = {}
         self.wide: LakeTable | None = None
         if LakeTable.exists(os.path.join(root, "wide")):
@@ -87,6 +89,23 @@ class WideRowPipeline:
 
     def _src_path(self, name: str) -> str:
         return os.path.join(self.root, "sources", name)
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Truncate lineage on a per-epoch intermediate (localCheckpoint,
+        eager).  The epoch dataflow references each intermediate several
+        times (stored rows feed upserts AND routing; restricted sources
+        feed every join arm of the wide query; the recomputed wide rows
+        feed upserts AND the tombstone anti-join).  Without pinning,
+        every broadcast-exchange build re-executes its whole upstream
+        subtree — measured 688 Spark jobs / 1,273 s task-time for one
+        5k-event epoch; with pinning the same epoch is ~30 jobs.  Every
+        pinned frame is O(batch)-sized (events, their affected keys, the
+        restricted source slices), never O(table), so executor block
+        storage is bounded.  On a cluster with executor loss concerns,
+        swap for reliable ``checkpoint()`` by flipping this flag."""
+        if self.checkpoint_intermediates:
+            return df.localCheckpoint(eager=True)
+        return df
 
     # ------------------------------------------------------------- full build
 
@@ -196,7 +215,7 @@ class WideRowPipeline:
                 else F.col(meta.version_col)
             )
             w = Window.partitionBy("pk").orderBy(rank_ver.desc(), F.desc("seq"))
-            latest = (
+            latest = self._pin(
                 typed.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
@@ -213,7 +232,7 @@ class WideRowPipeline:
             ]
             if rel is not None:
                 stored_cols.append(F.col(rel.child_key).alias("_s_fk"))
-            stored = (
+            stored = self._pin(
                 lake.read()
                 .join(touched, meta.pk, "left_semi")
                 .select(*stored_cols)
@@ -277,7 +296,7 @@ class WideRowPipeline:
             self.wide.commit({}, summary={"epoch_id": epoch_id, "tables": table_counts})
             return {"epoch_id": epoch_id, "n_affected": 0, "tables": table_counts}
 
-        affected = (
+        affected = self._pin(
             reduce(DataFrame.unionByName, route_parts)
             .distinct()
             .select(F.col("_k").alias(ppk))
@@ -286,8 +305,8 @@ class WideRowPipeline:
         # restricted recomputation over post-merge source state
         src = {n: t.read() for n, t in self.sources.items()}
         restricted: dict[str, DataFrame] = dict(src)
-        restricted[self.spec.primary] = src[self.spec.primary].join(
-            affected, ppk, "left_semi"
+        restricted[self.spec.primary] = self._pin(
+            src[self.spec.primary].join(affected, ppk, "left_semi")
         )
         pending = [r for r in self.spec.relations]
         done = {self.spec.primary}
@@ -298,15 +317,15 @@ class WideRowPipeline:
                     parent_keys = restricted[r.parent].select(
                         F.col(r.parent_key).alias(r.child_key)
                     )
-                    restricted[r.child] = src[r.child].join(
-                        parent_keys, r.child_key, "left_semi"
+                    restricted[r.child] = self._pin(
+                        src[r.child].join(parent_keys, r.child_key, "left_semi")
                     )
                     done.add(r.child)
                     pending.remove(r)
                     progress = True
             assert progress, f"unresolvable relation order: {pending}"
 
-        wide_new = self.wide_fn(restricted)
+        wide_new = self._pin(self.wide_fn(restricted))
         wsnap = self.wide.current_snapshot()
         upserts = wide_new.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in wsnap.schema.fields],
