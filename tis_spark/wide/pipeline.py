@@ -50,6 +50,7 @@ way.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -132,8 +133,14 @@ class WideRowPipeline:
 
     def full_build(self, source_dfs: dict[str, DataFrame]) -> None:
         """Dump + JOIN + swap (reference 4-phase full build, SURVEY §3.1):
-        materialize every source table and the wide table from scratch."""
-        for name, meta in self.spec.tables.items():
+        materialize every source table and the wide table from scratch.
+        Source tables are independent lakes, so their dump+write phase
+        runs thread-parallel (the reference dumps tables concurrently
+        too — S2's parallel dump executor); the JOIN phase follows once
+        all dumps committed."""
+
+        def _build_one(item):
+            name, meta = item
             lake = LakeTable.create(
                 self.spark,
                 self._src_path(name),
@@ -143,7 +150,11 @@ class WideRowPipeline:
                 num_buckets=self.num_buckets,
             )
             self._write_full(lake, source_dfs[name])
-            self.sources[name] = lake
+            return name, lake
+
+        with ThreadPoolExecutor(max_workers=len(self.spec.tables)) as ex:
+            for name, lake in ex.map(_build_one, self.spec.tables.items()):
+                self.sources[name] = lake
         wide_df = self.wide_fn({n: t.read() for n, t in self.sources.items()})
         pk = self.spec.tables[self.spec.primary].pk
         assert pk in wide_df.columns, f"wide_fn output must carry {pk}"
@@ -188,16 +199,18 @@ class WideRowPipeline:
         primary_meta = self.spec.tables[self.spec.primary]
         ppk = primary_meta.pk
 
-        # Topological order (parents before children): a child's multi-hop
-        # routing joins post-merge parent state, so a same-epoch parent
-        # insert must be committed before the child's chain climb binds.
-        monitored = sorted(
-            self.spec.monitored(), key=lambda m: len(self.spec.chain_to_primary(m.name))
-        )
-        for meta in monitored:
+        # Phase 1 — per-table source maintenance.  Each monitored table is
+        # its own LakeTable (independent commit), and its stored-row read
+        # is pinned from the pre-epoch snapshot inside the task, so the
+        # merges are order-independent: run them thread-parallel (Spark
+        # schedules the concurrent jobs across the same executors).
+        # Phase 2 (routing) then reads post-merge state with EVERY
+        # table's commit visible — which is also what multi-hop chain
+        # climbs need, without a topological order on phase 1.
+        monitored = [m for m in self.spec.monitored() if table_counts.get(m.name)]
+
+        def _merge_source(meta):
             name = meta.name
-            if not table_counts.get(name):
-                continue
             ev = events.filter(F.col("table") == name)
             if self.delete_policy == "ignore":
                 ev = ev.filter(F.col("op") != "D")  # V8: deletes are no-ops
@@ -269,16 +282,21 @@ class WideRowPipeline:
             )
             files = lake.write_data_files(delta, kind="delta")
             lake.commit(files, summary={"epoch_id": epoch_id})
+            return meta, latest, stored, touched
 
-            # routing keys (J6): after-image FK + stored FK (old parent)
-            if name == self.spec.primary:
+        with ThreadPoolExecutor(max_workers=max(len(monitored), 1)) as ex:
+            merged = list(ex.map(_merge_source, monitored))
+
+        # Phase 2 — routing keys (J6): after-image FK + stored FK (old
+        # parent); multi-hop chains climb via post-merge source state.
+        for meta, latest, stored, touched in merged:
+            if meta.name == self.spec.primary:
                 route_parts.append(touched.select(F.col(ppk).alias("_k")))
             else:
-                chain = self.spec.chain_to_primary(name)
+                chain = self.spec.chain_to_primary(meta.name)
                 fk_new = latest.select(F.col(chain[0].child_key).alias("_k"))
                 fk_old = stored.select(F.col("_s_fk").alias("_k"))
                 keys = fk_new.unionByName(fk_old).filter(F.col("_k").isNotNull())
-                # climb the remaining hops via post-merge parent state
                 for hop in chain[1:]:
                     parent_meta = self.spec.tables[hop.child]  # intermediate
                     inter = self.sources[hop.child].read().select(
@@ -311,19 +329,25 @@ class WideRowPipeline:
         pending = [r for r in self.spec.relations]
         done = {self.spec.primary}
         while pending:
-            progress = False
-            for r in list(pending):
-                if r.parent in done:
-                    parent_keys = restricted[r.parent].select(
-                        F.col(r.parent_key).alias(r.child_key)
-                    )
-                    restricted[r.child] = self._pin(
-                        src[r.child].join(parent_keys, r.child_key, "left_semi")
-                    )
-                    done.add(r.child)
-                    pending.remove(r)
-                    progress = True
-            assert progress, f"unresolvable relation order: {pending}"
+            # one dependency round: every relation whose parent slice is
+            # already restricted; siblings pin thread-parallel (each pin
+            # is an independent Spark job)
+            ready = [r for r in pending if r.parent in done]
+            assert ready, f"unresolvable relation order: {pending}"
+
+            def _restrict(r):
+                parent_keys = restricted[r.parent].select(
+                    F.col(r.parent_key).alias(r.child_key)
+                )
+                return r.child, self._pin(
+                    src[r.child].join(parent_keys, r.child_key, "left_semi")
+                )
+
+            with ThreadPoolExecutor(max_workers=len(ready)) as ex:
+                for child, df in ex.map(_restrict, ready):
+                    restricted[child] = df
+                    done.add(child)
+            pending = [r for r in pending if r not in ready]
 
         wide_new = self._pin(self.wide_fn(restricted))
         wsnap = self.wide.current_snapshot()
