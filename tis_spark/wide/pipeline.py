@@ -57,11 +57,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+from tis_spark.lake.table import (
+    COMMIT_COL,
+    DEAD_COL,
+    LakeTable,
+    prune_entries_by_keys,
+)
 from tis_spark.wide.er import ERSpec
 
 
 class WideRowPipeline:
+    #: below this many base files a key-pruned read cannot beat the scan
+    PRUNE_MIN_FILES = 64
+
     def __init__(
         self,
         spark: SparkSession,
@@ -72,6 +80,8 @@ class WideRowPipeline:
         num_buckets: int = 8,
         compact_threshold: int = 8,
         checkpoint_intermediates: bool = True,
+        lookup_keys_max: int = 100_000,
+        base_file_rows: int = 0,  # split sorted bases into zone-prunable files
     ):
         self.spark = spark
         self.root = root
@@ -81,6 +91,11 @@ class WideRowPipeline:
         self.num_buckets = num_buckets
         self.compact_threshold = compact_threshold
         self.checkpoint_intermediates = checkpoint_intermediates
+        self.lookup_keys_max = lookup_keys_max
+        self.base_file_rows = base_file_rows
+        #: per-table observability of the last pruned read:
+        #: {table path: {"files_hit": int, "files_total": int}}
+        self.prune_stats: dict[str, dict[str, int]] = {}
         self.sources: dict[str, LakeTable] = {}
         self.wide: LakeTable | None = None
         if LakeTable.exists(os.path.join(root, "wide")):
@@ -108,6 +123,54 @@ class WideRowPipeline:
             return df.localCheckpoint(eager=True)
         return df
 
+    def _pruned_read(self, lake: LakeTable, keys: DataFrame, key_col: str) -> DataFrame:
+        """Stored-side read restricted to ``keys`` (a DataFrame exposing
+        ``key_col`` values that are the LAKE's primary key): when the key
+        set is trigger-sized it is collected and pushed as bucket +
+        zone-map file pruning, making the scan O(batch keys), not
+        O(table) — the same S9 lookup shape as cdc/merge.py.  Above the
+        threshold (bulk backfills) the full-bucket scan amortizes over
+        the huge batch instead.  Returns a superset projection; callers
+        must semi-join to exact keys.  Only PK-keyed reads can prune this
+        way — child tables restricted BY FK (not their own PK) stay
+        scan+semi-join, since files are laid out by PK hash; a production
+        layout at larger child fan-in would bucket children by FK (the
+        routing key) to regain pruning there.
+
+        Guarded by table size: below ``PRUNE_MIN_FILES`` base files the
+        bounded key collect costs more than the whole scan — metadata
+        (free, driver-side) decides, so small tables take the plain
+        read and the pruning engages exactly when tables outgrow it."""
+        n_base = sum(
+            1
+            for entries in lake.current_snapshot().files.values()
+            for e in entries
+            if e.get("kind", "base") == "base"
+        )
+        if self.lookup_keys_max and n_base >= self.PRUNE_MIN_FILES:
+            head = (
+                keys.select(
+                    lake.bucket_expr(key_col).alias("_b"), F.col(key_col).alias("_k")
+                )
+                .distinct()
+                .limit(self.lookup_keys_max + 1)
+                .collect()
+            )
+            if len(head) <= self.lookup_keys_max:
+                key_set: dict[str, list] = {}
+                for r in head:
+                    key_set.setdefault(str(r["_b"]), []).append(r["_k"])
+                buckets = sorted(int(b) for b in key_set)
+                snap = lake.current_snapshot()
+                total = hit = 0
+                for b, entries in snap.files.items():
+                    base = [e for e in entries if e.get("kind", "base") == "base"]
+                    total += len(base)
+                    hit += len(prune_entries_by_keys(base, key_set.get(b, [])))
+                self.prune_stats[lake.path] = {"files_hit": hit, "files_total": total}
+                return lake.read(buckets=buckets, key_set=key_set)
+        return lake.read()
+
     # ------------------------------------------------------------- full build
 
     def _write_full(self, lake: LakeTable, df: DataFrame) -> None:
@@ -124,7 +187,9 @@ class WideRowPipeline:
             .repartition(snap.num_buckets, F.col("_bucket"))
             .sortWithinPartitions("_bucket", key)
         )
-        files = lake.write_data_files(bucketed, kind="base")
+        files = lake.write_data_files(
+            bucketed, kind="base", max_records_per_file=self.base_file_rows
+        )
         lake.commit(
             files,
             replaced_buckets={str(b) for b in range(snap.num_buckets)},
@@ -246,7 +311,7 @@ class WideRowPipeline:
             if rel is not None:
                 stored_cols.append(F.col(rel.child_key).alias("_s_fk"))
             stored = self._pin(
-                lake.read()
+                self._pruned_read(lake, touched, meta.pk)
                 .join(touched, meta.pk, "left_semi")
                 .select(*stored_cols)
             )
@@ -299,7 +364,11 @@ class WideRowPipeline:
                 keys = fk_new.unionByName(fk_old).filter(F.col("_k").isNotNull())
                 for hop in chain[1:]:
                     parent_meta = self.spec.tables[hop.child]  # intermediate
-                    inter = self.sources[hop.child].read().select(
+                    inter = self._pruned_read(
+                        self.sources[hop.child],
+                        keys.select(F.col("_k").alias(parent_meta.pk)),
+                        parent_meta.pk,
+                    ).select(
                         F.col(parent_meta.pk).alias("_pk"),
                         F.col(hop.child_key).alias("_up"),
                     )
@@ -320,11 +389,16 @@ class WideRowPipeline:
             .select(F.col("_k").alias(ppk))
         )
 
-        # restricted recomputation over post-merge source state
+        # restricted recomputation over post-merge source state.  The
+        # primary read is zone-pruned by the affected keys (its own PK);
+        # children restrict by FK through semi-joins (see _pruned_read on
+        # why they scan).
         src = {n: t.read() for n, t in self.sources.items()}
         restricted: dict[str, DataFrame] = dict(src)
         restricted[self.spec.primary] = self._pin(
-            src[self.spec.primary].join(affected, ppk, "left_semi")
+            self._pruned_read(self.sources[self.spec.primary], affected, ppk).join(
+                affected, ppk, "left_semi"
+            )
         )
         pending = [r for r in self.spec.relations]
         done = {self.spec.primary}
@@ -392,7 +466,7 @@ class WideRowPipeline:
                 if n >= self.compact_threshold
             ]
             if due:
-                lake.compact(sorted(due))
+                lake.compact(sorted(due), max_records_per_file=self.base_file_rows)
 
     # ------------------------------------------------------------- replay
 
