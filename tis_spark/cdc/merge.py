@@ -35,6 +35,9 @@ from tis_spark.cdc.semantics import COUNTER_NAMES, CdcConfig
 from tis_spark.functions.text import extract_text_udf
 from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
 
+#: below this many base files a key-pruned read cannot beat the scan
+PRUNE_MIN_FILES = 64
+
 
 def merge_into(
     spark: SparkSession,
@@ -66,11 +69,21 @@ def merge_into(
     # every base file whose key range can't contain one.  With key-sorted
     # compacted bases this makes the per-epoch scan O(batch_keys x
     # file_rows) regardless of table size; for huge batches (keys >
-    # threshold) the scan is amortized over the batch instead.
+    # threshold) the scan is amortized over the batch instead.  Small
+    # tables (under PRUNE_MIN_FILES base files, known from snapshot
+    # metadata for free) skip pruning entirely — there the bounded key
+    # collect costs more than the whole scan.
+    n_base = sum(
+        1
+        for entries in snap.files.values()
+        for e in entries
+        if e.get("kind", "base") == "base"
+    )
     key_set = None
     if (
         cfg.restrict_stored
         and cfg.lookup_keys_max
+        and n_base >= PRUNE_MIN_FILES
         and n_keys_est is not None
         and n_keys_est <= cfg.lookup_keys_max
     ):
