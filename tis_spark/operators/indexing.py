@@ -1,10 +1,13 @@
 """Search-index operators (SURVEY §2 S10/S11, Spark-first analog).
 
 The reference ships a Lucene index-build sink and an index "backflow"
-path (read the index back out as rows): tis-index-builder's MapReduce
-`IndexBuilder` writes per-shard Lucene segments, and backflow
-reconstructs table rows from stored fields (SURVEY §2.1 S10/S11; the
-round-1 scope call left both out).  The Spark-first analog is not an
+path (read the index back out as rows): tis-index-builder's
+`IndexBuilderTask` (tis-index-builder/src/main/java/com/qlangtech/tis/
+indexbuilder/IndexBuilderTask.java:93-188,338-411) pipelines N doc-maker
+threads (row → Lucene doc, doc/LuceneDocMaker.java) into M index-maker
+threads writing per-shard segment dirs, and backflow copies the built
+shards to serving nodes (tis-assemble/.../IndexBackFlowInterceptor.java)
+— SURVEY §2.1 S10/S11; the round-1 scope call left both out.  The Spark-first analog is not an
 embedded Lucene JVM — it is the index *data structure* as a DataFrame:
 a sharded inverted index (token -> sorted posting list) built with one
 aggregation, searched with joins, and backflowed with one explode.

@@ -80,12 +80,9 @@ SELECT n_bands, count(*) AS n_candidate_pairs FROM pairs GROUP BY n_bands
 )
 
 
-@query("dedup_minhash_lsh", _MINHASH_SQL)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: shingle(token)->minhash->band->
-    bucket-join.  md5-string minima make the signature engine-portable.
-    At scale the band join is a shuffle on band_val (small signatures),
-    never on document text."""
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_bands) candidate pairs from the MinHash band join
+    — shared by the histogram query and the exact-verify stage."""
     dt = _tokens(load(spark, sf_dir, "documents"))
     mh = dt.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), "tok"))).alias(f"h{i}") for i in range(N_MINHASH)]
@@ -116,7 +113,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
     )
+    return pairs
+
+
+@query("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: shingle(token)->minhash->band->
+    bucket-join.  md5-string minima make the signature engine-portable.
+    At scale the band join is a shuffle on band_val (small signatures),
+    never on document text."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     return pairs.groupBy("n_bands").agg(F.count("*").alias("n_candidate_pairs"))
+
+
+_JACCARD_ON_LSH_SQL = (
+    _MINHASH_SQL[: _MINHASH_SQL.rindex("SELECT n_bands")]
+    + """, sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN dt ta ON ta.doc_id = p.doc_a
+  JOIN dt tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2
+)
+SELECT round(i * 1.0 / (sa.n + sb.n - i), 1) AS jac_bucket, count(*) AS n_pairs
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+GROUP BY 1
+"""
+)
+
+
+@query("dedup_jaccard_on_lsh", _JACCARD_ON_LSH_SQL)
+def dedup_jaccard_on_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup pipeline: exact token-set Jaccard computed ONLY
+    on MinHash-LSH candidate pairs — the web-scale shape (LSH as the
+    recall filter, exact verify on the ~linear candidate set) that
+    replaces both the all-pairs join and the df-capped approximation.
+    Cost is O(candidates x tokens/doc): no full inverted-index self-join
+    ever runs, so no hot token can explode the pair set."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    dt = _tokens(load(spark, sf_dir, "documents"))
+    sz = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = dt.alias("ta")
+    tb = dt.alias("tb")
+    inter = (
+        pairs.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.round(F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i")), 1).alias(
+                "jac_bucket"
+            )
+        )
+    )
+    return jac.groupBy("jac_bucket").agg(F.count("*").alias("n_pairs"))
 
 
 # Document-frequency cap for the inverted-index self-join: a token seen in
