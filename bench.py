@@ -51,6 +51,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_score",
     "text_lang_id",
+    # new in r2
+    "index_build_postings",
+    "index_search_topk",
+    "datax_sync_roundtrip",
 ]
 
 
