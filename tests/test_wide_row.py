@@ -172,3 +172,36 @@ def test_er_spec_roundtrip_and_chain():
     assert chain[-1].parent == "totalpayinfo"
     assert rt.chain_to_primary("totalpayinfo") == []
     assert not rt.tables["card"].monitor  # ignoreIncrTrigger dim
+
+
+def test_zone_pruned_replay_matches_oracle(spark, tmp_path_factory):
+    """With sorted bases split into small files (past PRUNE_MIN_FILES),
+    PK-keyed stored reads engage zone pruning; the replay must still
+    match the sequential oracle exactly, and prune_stats must show files
+    actually skipped."""
+    root = str(tmp_path_factory.mktemp("wide-zp"))
+    spec = totalpay_spec()
+    pipe = WideRowPipeline(
+        spark, root, spec, totalpay_wide, base_file_rows=1, num_buckets=4
+    )
+    pipe.full_build(initial_tables_spark(spark, N_PRIMARY))
+    changes = gen_star_changes(spark, 200, N_PRIMARY, seed=7, epoch_size=100)
+    pipe.replay(changes, epoch_size=100)
+    state = replay_star_oracle(spec, initial_tables(N_PRIMARY), changes.collect())
+    _assert_wide_equal(_final_pdf(pipe), expected_wide(state))
+    prim = pipe.sources[spec.primary].path
+    assert prim in pipe.prune_stats, "primary read never pruned"
+    ps = pipe.prune_stats[prim]
+    assert 0 < ps["files_hit"] < ps["files_total"]
+
+
+def test_small_table_skips_pruning(spark, tmp_path_factory):
+    """Below PRUNE_MIN_FILES base files the guard keeps the plain scan —
+    no key collect, no prune_stats entries."""
+    root = str(tmp_path_factory.mktemp("wide-noprune"))
+    spec = totalpay_spec()
+    pipe = WideRowPipeline(spark, root, spec, totalpay_wide)
+    pipe.full_build(initial_tables_spark(spark, 40))
+    changes = gen_star_changes(spark, 100, 40, seed=7, epoch_size=100)
+    pipe.replay(changes, epoch_size=100)
+    assert pipe.prune_stats == {}

@@ -46,6 +46,7 @@ import time
 import uuid
 from dataclasses import dataclass
 from functools import reduce
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -426,12 +427,22 @@ class LakeTable:
 
     def _attach_zone_maps(self, key: str, files: dict[str, list[dict]]) -> None:
         """One distributed min/max-per-file pass over freshly written base
-        files; keyed by basename (unique within one write)."""
+        files.  Keyed by the full path, NOT the basename: one write task
+        serving several bucket partition dirs (hash collision in the
+        bucket repartition, or maxRecordsPerFile splits) emits files with
+        identical basenames under different ``_bucket=`` dirs, and a
+        basename key would cross-assign their zones — silently wrong
+        pruning (rows vanish from key-pruned reads)."""
         paths = [e["path"] for v in files.values() for e in v]
         if not paths:
             return
+
+        def _norm(p: str) -> str:
+            p = unquote(urlparse(p).path) if "://" in p else p
+            return os.path.abspath(p)
+
         zones = {
-            os.path.basename(r["f"]): (r["kmin"], r["kmax"])
+            _norm(r["f"]): (r["kmin"], r["kmax"])
             for r in (
                 self.spark.read.parquet(*paths)
                 .select(F.input_file_name().alias("f"), F.col(key).alias("k"))
@@ -442,7 +453,7 @@ class LakeTable:
         }
         for v in files.values():
             for e in v:
-                z = zones.get(os.path.basename(e["path"]))
+                z = zones.get(_norm(e["path"]))
                 if z is not None:
                     e["key_min"], e["key_max"] = z
 
