@@ -1,12 +1,14 @@
 """Wide-row maintenance scaling bench: per-epoch cost vs star size.
 
 Demonstrates that the incremental wide-row engine's per-epoch cost is
-governed by the batch (affected keys), not the table: PK-keyed stored
-reads (phase-1 LWW lookups, the restricted primary slice, multi-hop
-routing climbs) are zone-map-pruned to the batch's key ranges, so their
-scan cost stays ~flat as the star grows.  Child tables restricted BY FK
-still scan (see WideRowPipeline._pruned_read) — their column-pruned
-scan is the expected residual growth term.
+governed by the batch (affected keys), not the table: the restricted
+primary slice is zone-map-pruned to the batch's key ranges, child
+tables are FK-clustered (fk_layout) so the phase-3 FK restriction
+bucket/zone-prunes too, and PK point lookups on those children (phase-1
+LWW merge, chain climbs) prune via per-file PK blooms.  The
+``pruned_pk_layout`` mode isolates what the FK clustering itself buys:
+pruning on, but children laid out by their own PK, so FK-restricted
+reads fall back to scans.
 
 Method: full-build totalpay stars of increasing primary-row counts,
 replay identical fixed-size change epochs, measure per-epoch wall with
@@ -49,7 +51,16 @@ FILE_ROWS = int(os.environ.get("SPARK_GRAFT_WIDE_FILE_ROWS", "500"))
 def run_size(spark, n_primary):
     out = {"primary_rows": n_primary, "epoch_events": EPOCH_EVENTS}
     n_events = EPOCH_EVENTS * EPOCHS
-    for mode, keys_max in (("pruned", 100_000), ("full_scan", 0)):
+    # pruned        = FK-clustered children + zone/bloom pruning (production)
+    # pruned_pk_lay = pruning on, but children clustered by their own PK —
+    #                 isolates what the FK layout itself buys
+    # full_scan     = no pruning at all
+    modes = (
+        ("pruned", 100_000, True),
+        ("pruned_pk_layout", 100_000, False),
+        ("full_scan", 0, True),
+    )
+    for mode, keys_max, fk_layout in modes:
         workdir = tempfile.mkdtemp(prefix="tis-widebench-")
         pipe = WideRowPipeline(
             spark,
@@ -58,6 +69,7 @@ def run_size(spark, n_primary):
             totalpay_wide,
             lookup_keys_max=keys_max,
             base_file_rows=FILE_ROWS,
+            fk_layout=fk_layout,
         )
         pipe.full_build(initial_tables_spark(spark, n_primary))
         changes = gen_star_changes(
@@ -80,6 +92,9 @@ def run_size(spark, n_primary):
             ps = pipe.prune_stats.get(pipe.sources[pipe.spec.primary].path, {})
             out["files_hit"] = ps.get("files_hit")
             out["files_total"] = ps.get("files_total")
+            cs = pipe.prune_stats.get(pipe.sources["payinfo"].path, {})
+            out["child_files_hit"] = cs.get("files_hit")
+            out["child_files_total"] = cs.get("files_total")
         changes.unpersist()
         shutil.rmtree(workdir, ignore_errors=True)
     return out
@@ -101,14 +116,17 @@ def main():
         )
         f.write(
             "| primary rows | affected keys | primary files hit/total "
-            "| epoch wall pruned (s) | epoch wall full-scan (s) |\n"
+            "| payinfo files hit/total | epoch wall pruned (s) "
+            "| epoch wall PK-layout pruned (s) | epoch wall full-scan (s) |\n"
         )
-        f.write("|---|---|---|---|---|\n")
+        f.write("|---|---|---|---|---|---|---|\n")
         for r in results:
             f.write(
                 f"| {r['primary_rows']:,} | {r.get('n_affected','-')} "
                 f"| {r.get('files_hit','-')}/{r.get('files_total','-')} "
-                f"| {r['epoch_wall_pruned']} | {r['epoch_wall_full_scan']} |\n"
+                f"| {r.get('child_files_hit','-')}/{r.get('child_files_total','-')} "
+                f"| {r['epoch_wall_pruned']} | {r.get('epoch_wall_pruned_pk_layout','-')} "
+                f"| {r['epoch_wall_full_scan']} |\n"
             )
 
 

@@ -40,6 +40,7 @@ reference's per-collection ExecuteLock (ExecuteLock.java:33-117).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import time
@@ -71,9 +72,63 @@ BROADCAST_DELTA_MAX_BYTES = 64 << 20
 COMMIT_COL = "_commit"
 DEAD_COL = "_dead"
 
+# Per-base-file primary-key bloom filters, recorded only when the table's
+# physical layout key differs from its logical primary key (layout_col):
+# files are then bucketed/sorted/zone-mapped by the layout key, so a
+# PK point lookup cannot range-prune — the bloom restores file skipping.
+# Fixed geometry: BLOOM_M bits, len(BLOOM_SEEDS) hash functions (Spark
+# xxhash64 seeded by a leading literal, computed identically on the write
+# and lookup sides — no Python reimplementation of the hash).  At
+# base_file_rows ≈ 4k this is ~10 bits/key → ~2% file-level false
+# positives (an extra file read, never a wrong result).  Blooms ride the
+# JSON commit entries; a production deployment at very large file counts
+# would spill them to sidecar files next to the data.
+BLOOM_SEEDS = (0x51, 0xA7, 0xE3)
+BLOOM_M = 1 << 16
+BLOOM_SATURATION = 0.5  # skip blooms that would answer "maybe" for everything
+
 
 class CommitConflict(RuntimeError):
     """Another writer published this snapshot id first."""
+
+
+def _norm_path(p: str) -> str:
+    p = unquote(urlparse(p).path) if "://" in p else p
+    return os.path.abspath(p)
+
+
+def prune_entries_by_bloom(entries: list[dict], positions) -> list[dict]:
+    """Keep only file entries whose PK bloom could contain one of the
+    looked-up keys.  ``positions`` is an (n_keys, len(BLOOM_SEEDS)) int
+    array of bit positions (xxhash64 mod BLOOM_M, computed Spark-side so
+    write and lookup hash identically).  Entries without a bloom are always
+    kept — pruning is best-effort, never unsound.  Vectorized per file:
+    ~n_keys x k numpy ops, driver-side."""
+    import numpy as np
+
+    pos = np.asarray(positions, dtype=np.int64)
+    if pos.size == 0:
+        return [e for e in entries if "pk_bloom" not in e]
+    out = []
+    for e in entries:
+        b = e.get("pk_bloom")
+        if not b or int(e.get("bloom_m", 0)) != BLOOM_M:
+            out.append(e)
+            continue
+        bits = np.frombuffer(base64.b64decode(b), dtype=np.uint8)
+        if (((bits[pos >> 3] >> (pos & 7)) & 1) != 0).all(axis=1).any():
+            out.append(e)
+    return out
+
+
+def bloom_position_cols(key_col: str) -> list:
+    """The bloom bit-position expressions for a key column — shared by the
+    write-side attach pass and lookup-side key collection so both sides
+    hash identically (seeded Spark xxhash64, mod BLOOM_M)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(s), F.col(key_col)), F.lit(BLOOM_M)).alias(f"_bp{j}")
+        for j, s in enumerate(BLOOM_SEEDS)
+    ]
 
 
 def prune_entries_by_keys(entries: list[dict], key_set: list) -> list[dict]:
@@ -109,6 +164,11 @@ class Snapshot:
     version_col: str
     summary: dict
     created_ms: int
+    #: physical clustering key (bucketing, in-file sort, zone maps) when it
+    #: differs from key_cols[0] — e.g. a child table laid out by its FK
+    #: toward the wide table's primary so FK-restricted reads range-prune;
+    #: PK point lookups then prune via per-file blooms instead.
+    layout_col: str | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -136,6 +196,7 @@ class Snapshot:
                 "version_col": self.version_col,
                 "summary": self.summary,
                 "created_ms": self.created_ms,
+                "layout_col": self.layout_col,
             }
         )
 
@@ -167,9 +228,12 @@ class LakeTable:
         version_col: str,
         num_buckets: int = 16,
         summary: dict | None = None,
+        layout_col: str | None = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        if layout_col is not None:
+            assert layout_col in {f.name for f in schema.fields}, layout_col
         t = LakeTable(spark, path)
         snap = Snapshot(
             snapshot_id=0,
@@ -182,6 +246,7 @@ class LakeTable:
             version_col=version_col,
             summary=summary or {},
             created_ms=int(time.time() * 1000),
+            layout_col=layout_col,
         )
         t._publish(snap)
         return t
@@ -256,9 +321,16 @@ class LakeTable:
             total += int(sz)
         return total
 
+    @staticmethod
+    def layout_key(snap: Snapshot) -> str:
+        """The physical clustering column: layout_col when set, else the
+        primary key.  Bucketing, base-file sort order and zone maps all
+        follow it."""
+        return snap.layout_col or snap.key_cols[0]
+
     def bucket_expr(self, key_col: str | None = None) -> F.Column:
         snap = self.current_snapshot()
-        key = key_col or snap.key_cols[0]
+        key = key_col or self.layout_key(snap)
         return F.pmod(F.xxhash64(F.col(key)), F.lit(snap.num_buckets)).cast("int")
 
     # ------------------------------------------------------------- read
@@ -313,6 +385,8 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_internal: bool = False,
         key_set: list | None = None,
+        pk_set: list | None = None,
+        pk_positions=None,
     ) -> DataFrame:
         """Merge-on-read reconciliation of a snapshot.
 
@@ -320,8 +394,8 @@ class LakeTable:
         The base∖delta-keys anti-join broadcasts the delta keys only while
         the selected deltas are small (size-guarded; AQE decides above).
 
-        ``key_set`` (point-lookup pruning): base files whose
-        [key_min, key_max] zone contains none of the given keys are
+        ``key_set`` (point-lookup pruning by the LAYOUT key): base files
+        whose [key_min, key_max] zone contains none of the given keys are
         skipped.  Pass a dict ``{bucket(str): [keys]}`` so each bucket's
         files are tested only against its own keys (a flat list works but
         over-matches ~num_buckets-fold, since every bucket holds a uniform
@@ -329,12 +403,35 @@ class LakeTable:
         every row whose key is listed, plus incidental rows sharing a
         surviving file — callers must filter/semi-join to exact keys.
         Deltas are never pruned (bounded by compaction).
+
+        ``pk_set`` (point-lookup pruning by the PRIMARY key on a table
+        whose layout_col differs): base files are pruned via their
+        per-file PK blooms; bucket selection does not apply (the bucket
+        is a function of the layout key, not the PK).  ``pk_positions``
+        optionally carries the precomputed (n, k) bloom bit positions
+        (from ``bloom_position_cols`` collected alongside the keys); when
+        absent a small Spark job computes them here.  Same superset
+        contract as ``key_set``.
         """
         snap = self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         cur = snap.schema
         key = snap.key_cols
         empty = self.spark.createDataFrame([], _physical(cur) if with_internal else cur)
-        if key_set is None:
+        if pk_set is not None:
+            assert key_set is None and buckets is None
+            if pk_positions is None and pk_set:
+                kt = next(f.dataType for f in cur.fields if f.name == key[0])
+                kdf = self.spark.createDataFrame(
+                    [(k,) for k in pk_set], T.StructType([T.StructField(key[0], kt)])
+                )
+                pk_positions = [
+                    [r[f"_bp{j}"] for j in range(len(BLOOM_SEEDS))]
+                    for r in kdf.select(*bloom_position_cols(key[0])).collect()
+                ]
+            base_entries = prune_entries_by_bloom(
+                self._selected_entries(snap, None, {"base"}), pk_positions or []
+            )
+        elif key_set is None:
             base_entries = self._selected_entries(snap, buckets, {"base"})
         else:
             want = None if buckets is None else {str(b) for b in buckets}
@@ -351,7 +448,13 @@ class LakeTable:
         internal = [COMMIT_COL, DEAD_COL]
 
         if delta is not None:
-            w = Window.partitionBy(*key).orderBy(F.desc(COMMIT_COL))
+            # alive-over-dead tie-break at equal _commit: a relocation on a
+            # layout_col table writes, in ONE epoch, the moved row to its
+            # new bucket and a tombstone to its old bucket — the alive copy
+            # must win a whole-table read, and a bucket-restricted read of
+            # the old bucket alone sees only the tombstone (row correctly
+            # absent there).
+            w = Window.partitionBy(*key).orderBy(F.desc(COMMIT_COL), F.asc(DEAD_COL))
             delta = (
                 delta.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -422,7 +525,9 @@ class LakeTable:
                         }
                     )
         if kind == "base":
-            self._attach_zone_maps(snap.key_cols[0], files)
+            self._attach_zone_maps(self.layout_key(snap), files)
+            if snap.layout_col and snap.layout_col != snap.key_cols[0]:
+                self._attach_pk_blooms(snap.key_cols[0], files)
         return files
 
     def _attach_zone_maps(self, key: str, files: dict[str, list[dict]]) -> None:
@@ -436,13 +541,8 @@ class LakeTable:
         paths = [e["path"] for v in files.values() for e in v]
         if not paths:
             return
-
-        def _norm(p: str) -> str:
-            p = unquote(urlparse(p).path) if "://" in p else p
-            return os.path.abspath(p)
-
         zones = {
-            _norm(r["f"]): (r["kmin"], r["kmax"])
+            _norm_path(r["f"]): (r["kmin"], r["kmax"])
             for r in (
                 self.spark.read.parquet(*paths)
                 .select(F.input_file_name().alias("f"), F.col(key).alias("k"))
@@ -453,9 +553,46 @@ class LakeTable:
         }
         for v in files.values():
             for e in v:
-                z = zones.get(_norm(e["path"]))
+                z = zones.get(_norm_path(e["path"]))
                 if z is not None:
                     e["key_min"], e["key_max"] = z
+
+    def _attach_pk_blooms(self, pk: str, files: dict[str, list[dict]]) -> None:
+        """One distributed pass computing a per-file PK bloom (layout_col
+        tables only; compaction/full-build path, never per epoch).  Bit
+        positions come from seeded Spark xxhash64 (``bloom_position_cols``)
+        so lookups hash identically without a Python xxhash port.  Files
+        whose distinct-position count saturates the filter carry no bloom
+        (kept by every lookup — correct, just unpruned)."""
+        import numpy as np
+
+        paths = [e["path"] for v in files.values() for e in v]
+        if not paths:
+            return
+        rows = (
+            self.spark.read.parquet(*paths)
+            .select(
+                F.input_file_name().alias("f"),
+                F.explode(F.array(*bloom_position_cols(pk))).alias("p"),
+            )
+            .groupBy("f")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        blooms = {}
+        for r in rows:
+            if len(r["ps"]) > BLOOM_M * BLOOM_SATURATION:
+                continue
+            bits = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+            idx = np.asarray(r["ps"], dtype=np.int64)
+            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+            blooms[_norm_path(r["f"])] = base64.b64encode(bits.tobytes()).decode()
+        for v in files.values():
+            for e in v:
+                b = blooms.get(_norm_path(e["path"]))
+                if b is not None:
+                    e["pk_bloom"] = b
+                    e["bloom_m"] = BLOOM_M
 
     def commit(
         self,
@@ -491,6 +628,7 @@ class LakeTable:
             version_col=parent.version_col,
             summary=summary or {},
             created_ms=int(time.time() * 1000),
+            layout_col=parent.layout_col,
         )
         self._publish(snap)
         return snap
@@ -513,7 +651,7 @@ class LakeTable:
             return None
         merged = self.read(buckets=buckets, with_internal=True)
         snap = self.current_snapshot()
-        key = snap.key_cols[0]
+        key = self.layout_key(snap)
         # One task per bucket: each bucket's base is a run of key-sorted
         # files with disjoint key ranges (tight zone maps) and the file
         # count stays O(buckets x rows/max_records_per_file).  At extreme
@@ -563,6 +701,7 @@ class LakeTable:
             version_col=parent.version_col,
             summary=summary or {},
             created_ms=int(time.time() * 1000),
+            layout_col=parent.layout_col,
         )
         self._publish(snap)
         return snap

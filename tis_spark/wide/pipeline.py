@@ -39,12 +39,18 @@ in-JVM re-aggregation), everything here is set-oriented per micro-batch:
    ``tableUpdateCount`` parity).
 
 Scale notes: every stored-side read is restricted by a semi-join on the
-batch's keys before any aggregation; the same zone-map key pruning the
-pages CDC sink uses (LakeTable.read(key_set=...)) applies when batches
-are trigger-sized.  Dim tables (monitor=False) join unrestricted — they
-are broadcast-sized by construction; at larger dim cardinality they
-would be semi-join-restricted through their referencing keys the same
-way.
+batch's keys before any aggregation, and (past PRUNE_MIN_FILES base
+files) restricted reads also skip data files: the primary prunes by its
+PK zone maps; child tables are physically clustered by their routing FK
+(``fk_layout``, LakeTable ``layout_col``) so the phase-3 FK restriction
+bucket- and zone-prunes to the affected parents' key ranges, while their
+PK point lookups (phase-1 LWW merge, chain climbs) prune via per-file PK
+blooms.  A re-parented child changes buckets; the merge writes an
+old-bucket tombstone so bucket-restricted reads and independent
+per-bucket compactions stay exact.  Dim tables (monitor=False) join
+unrestricted — they are broadcast-sized by construction; at larger dim
+cardinality they would be semi-join-restricted through their referencing
+keys the same way.
 """
 
 from __future__ import annotations
@@ -58,9 +64,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tis_spark.lake.table import (
+    BLOOM_SEEDS,
     COMMIT_COL,
     DEAD_COL,
     LakeTable,
+    bloom_position_cols,
+    prune_entries_by_bloom,
     prune_entries_by_keys,
 )
 from tis_spark.wide.er import ERSpec
@@ -82,6 +91,7 @@ class WideRowPipeline:
         checkpoint_intermediates: bool = True,
         lookup_keys_max: int = 100_000,
         base_file_rows: int = 0,  # split sorted bases into zone-prunable files
+        fk_layout: bool = True,  # cluster child tables by their routing FK
     ):
         self.spark = spark
         self.root = root
@@ -93,6 +103,7 @@ class WideRowPipeline:
         self.checkpoint_intermediates = checkpoint_intermediates
         self.lookup_keys_max = lookup_keys_max
         self.base_file_rows = base_file_rows
+        self.fk_layout = fk_layout
         #: per-table observability of the last pruned read:
         #: {table path: {"files_hit": int, "files_total": int}}
         self.prune_stats: dict[str, dict[str, int]] = {}
@@ -105,6 +116,19 @@ class WideRowPipeline:
 
     def _src_path(self, name: str) -> str:
         return os.path.join(self.root, "sources", name)
+
+    def _layout_for(self, name: str) -> str | None:
+        """Physical clustering column for a source table: non-primary
+        tables with a parent relation cluster by their routing FK (the
+        column phase-3 restricted recomputation filters on), so
+        FK-restricted reads bucket- and zone-prune instead of scanning the
+        table.  Their PK point lookups (phase-1 LWW merge, chain climbs)
+        prune via per-file PK blooms (lake/table.py).  The primary table
+        and lookup dims keep the PK layout."""
+        if not self.fk_layout or name == self.spec.primary:
+            return None
+        rel = self.spec.parent_relation(name)
+        return rel.child_key if rel is not None and rel.child_key != self.spec.tables[name].pk else None
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Truncate lineage on a per-epoch intermediate (localCheckpoint,
@@ -131,23 +155,27 @@ class WideRowPipeline:
         O(table) — the same S9 lookup shape as cdc/merge.py.  Above the
         threshold (bulk backfills) the full-bucket scan amortizes over
         the huge batch instead.  Returns a superset projection; callers
-        must semi-join to exact keys.  Only PK-keyed reads can prune this
-        way — child tables restricted BY FK (not their own PK) stay
-        scan+semi-join, since files are laid out by PK hash; a production
-        layout at larger child fan-in would bucket children by FK (the
-        routing key) to regain pruning there.
+        must semi-join to exact keys.  Two pruning shapes: reads keyed on
+        the lake's LAYOUT column (the PK, or the routing FK under
+        fk_layout) take bucket + zone-map pruning; PK lookups on an
+        FK-clustered table take per-file PK-bloom pruning (no bucket
+        selection — the bucket is a function of the FK).
 
         Guarded by table size: below ``PRUNE_MIN_FILES`` base files the
         bounded key collect costs more than the whole scan — metadata
         (free, driver-side) decides, so small tables take the plain
         read and the pruning engages exactly when tables outgrow it."""
+        snap = lake.current_snapshot()
+        layout = lake.layout_key(snap)
         n_base = sum(
             1
-            for entries in lake.current_snapshot().files.values()
+            for entries in snap.files.values()
             for e in entries
             if e.get("kind", "base") == "base"
         )
-        if self.lookup_keys_max and n_base >= self.PRUNE_MIN_FILES:
+        if not (self.lookup_keys_max and n_base >= self.PRUNE_MIN_FILES):
+            return lake.read()
+        if key_col == layout:
             head = (
                 keys.select(
                     lake.bucket_expr(key_col).alias("_b"), F.col(key_col).alias("_k")
@@ -161,7 +189,6 @@ class WideRowPipeline:
                 for r in head:
                     key_set.setdefault(str(r["_b"]), []).append(r["_k"])
                 buckets = sorted(int(b) for b in key_set)
-                snap = lake.current_snapshot()
                 total = hit = 0
                 for b, entries in snap.files.items():
                     base = [e for e in entries if e.get("kind", "base") == "base"]
@@ -169,13 +196,41 @@ class WideRowPipeline:
                     hit += len(prune_entries_by_keys(base, key_set.get(b, [])))
                 self.prune_stats[lake.path] = {"files_hit": hit, "files_total": total}
                 return lake.read(buckets=buckets, key_set=key_set)
+        elif key_col == snap.key_cols[0]:
+            # PK lookup on an FK-clustered table: the bucket is a function
+            # of the FK, not the PK — no bucket pruning; per-file PK blooms
+            # skip base files instead.  Keys and their bloom bit positions
+            # come back in ONE job so the lookup hashes exactly as the
+            # write side did.
+            nk = len(BLOOM_SEEDS)
+            head = (
+                keys.select(F.col(key_col), *bloom_position_cols(key_col))
+                .distinct()
+                .limit(self.lookup_keys_max + 1)
+                .collect()
+            )
+            if len(head) <= self.lookup_keys_max:
+                positions = [[r[f"_bp{j}"] for j in range(nk)] for r in head]
+                base = [
+                    e
+                    for entries in snap.files.values()
+                    for e in entries
+                    if e.get("kind", "base") == "base"
+                ]
+                self.prune_stats[lake.path] = {
+                    "files_hit": len(prune_entries_by_bloom(base, positions)),
+                    "files_total": len(base),
+                }
+                return lake.read(
+                    pk_set=[r[key_col] for r in head], pk_positions=positions
+                )
         return lake.read()
 
     # ------------------------------------------------------------- full build
 
     def _write_full(self, lake: LakeTable, df: DataFrame) -> None:
         snap = lake.current_snapshot()
-        key = snap.key_cols[0]
+        key = lake.layout_key(snap)
         cols = [
             F.col(f.name).cast(f.dataType).alias(f.name) for f in snap.schema.fields
         ]
@@ -213,6 +268,7 @@ class WideRowPipeline:
                 key_cols=[meta.pk],
                 version_col=meta.version_col,
                 num_buckets=self.num_buckets,
+                layout_col=self._layout_for(name),
             )
             self._write_full(lake, source_dfs[name])
             return name, lake
@@ -321,27 +377,67 @@ class WideRowPipeline:
             newer = F.col("_s_ver").isNull() | (
                 F.col(meta.version_col) > F.col("_s_ver")
             )
+            # the lake's committed layout is the truth (not the pipeline
+            # flag): tombstone routing must match how rows were bucketed
+            layout = lake.current_snapshot().layout_col
+
+            def _tomb_cols(src_pk: F.Column):
+                """Tombstone row: PK + (on FK-clustered tables) the STORED
+                FK so the tombstone lands in the row's current bucket —
+                nulls everywhere else."""
+                out = []
+                for f in meta.schema.fields:
+                    if f.name == meta.pk:
+                        out.append(src_pk.alias(meta.pk))
+                    elif layout is not None and f.name == layout:
+                        out.append(F.col("_s_fk").cast(f.dataType).alias(f.name))
+                    else:
+                        out.append(F.lit(None).cast(f.dataType).alias(f.name))
+                return out
+
             upserts = joined.filter((F.col("op") != "D") & newer).select(
                 *[F.col(c) for c in meta.columns],
                 F.lit(epoch_id).cast("long").alias(COMMIT_COL),
                 F.lit(False).alias(DEAD_COL),
             )
+            delta = upserts
+            if layout is not None:
+                # FK relocation: the applied after-image moved this row to a
+                # new bucket; tombstone the copy in the old one.  read()'s
+                # alive-over-dead tie-break at equal _commit keeps the moved
+                # row visible in whole-table reads while bucket-restricted
+                # reads of the old bucket correctly drop it.
+                moved = joined.filter(
+                    (F.col("op") != "D")
+                    & newer
+                    & F.col("_s_ver").isNotNull()  # a stored copy exists
+                    & ~F.col("_s_fk").eqNullSafe(F.col(layout))
+                ).select(
+                    *_tomb_cols(F.col("pk")),
+                    F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+                    F.lit(True).alias(DEAD_COL),
+                )
+                delta = delta.unionByName(moved)
             if self.delete_policy == "delete":
                 dels = joined.filter(
                     (F.col("op") == "D") & F.col("_s_ver").isNotNull()
                 ).select(
-                    F.col("pk").alias(meta.pk),
-                    *[
-                        F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in meta.schema.fields
-                        if f.name != meta.pk
-                    ],
+                    *(
+                        _tomb_cols(F.col("pk"))
+                        if layout is not None
+                        else [
+                            F.col("pk").alias(meta.pk),
+                            *[
+                                F.lit(None).cast(f.dataType).alias(f.name)
+                                for f in meta.schema.fields
+                                if f.name != meta.pk
+                            ],
+                        ]
+                    ),
                     F.lit(epoch_id).cast("long").alias(COMMIT_COL),
                     F.lit(True).alias(DEAD_COL),
                 )
-                delta = upserts.unionByName(dels)
-            else:
-                delta = upserts
+                delta = delta.unionByName(dels)
             delta = delta.withColumn("_bucket", lake.bucket_expr()).repartition(
                 self.num_buckets, F.col("_bucket")
             )
@@ -391,8 +487,8 @@ class WideRowPipeline:
 
         # restricted recomputation over post-merge source state.  The
         # primary read is zone-pruned by the affected keys (its own PK);
-        # children restrict by FK through semi-joins (see _pruned_read on
-        # why they scan).
+        # children are FK-clustered under fk_layout, so their restriction
+        # bucket/zone-prunes on the parent keys (see _pruned_read).
         src = {n: t.read() for n, t in self.sources.items()}
         restricted: dict[str, DataFrame] = dict(src)
         restricted[self.spec.primary] = self._pin(
@@ -413,8 +509,14 @@ class WideRowPipeline:
                 parent_keys = restricted[r.parent].select(
                     F.col(r.parent_key).alias(r.child_key)
                 )
+                # under fk_layout the child is clustered by r.child_key, so
+                # this read bucket- and zone-prunes to the affected parents'
+                # key ranges instead of scanning the child table
+                child = self._pruned_read(
+                    self.sources[r.child], parent_keys, r.child_key
+                )
                 return r.child, self._pin(
-                    src[r.child].join(parent_keys, r.child_key, "left_semi")
+                    child.join(parent_keys, r.child_key, "left_semi")
                 )
 
             with ThreadPoolExecutor(max_workers=len(ready)) as ex:
