@@ -55,6 +55,7 @@ HEADLINE = [
     "index_build_postings",
     "index_search_topk",
     "datax_sync_roundtrip",
+    "dedup_cluster_components",
 ]
 
 
