@@ -43,6 +43,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -673,6 +674,95 @@ class LakeTable:
             replaced_buckets=replaced,
             summary={"compaction": sorted(int(b) for b in replaced), **(summary or {})},
         )
+
+    # ------------------------------------------------------------- expiration
+
+    def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
+        """Garbage-collect table history: drop snapshot log entries older
+        than the newest ``keep_last`` and delete every data file no
+        retained snapshot references (superseded base generations,
+        compacted-away deltas, files from aborted commits).
+
+        Without this a continuous ingest grows metadata and storage
+        without bound — at 10^10 events the dominant disk cost is *dead*
+        generations, not live rows (each compaction strands a full base).
+        Mirrors Iceberg's expire_snapshots + remove_orphan_files pair
+        collapsed into one maintenance call.
+
+        Safety invariants:
+        * the newest snapshot carrying an ``epoch_id`` summary is always
+          retained, so the exactly-once fence (``last_epoch_id``) survives
+          arbitrarily aggressive expiry;
+        * must run from the single writer (C8 exec-lock), like compact():
+          a concurrent uncommitted write's files would look orphaned.
+
+        Time travel to an expired snapshot id raises FileNotFoundError
+        afterwards (Iceberg semantics).  Returns an action report.
+        """
+        hist = self.history()
+        retained_ids = {s.snapshot_id for s in hist[-max(keep_last, 1):]}
+        # retain the newest carrier of each durable-state summary key the
+        # ingest recovers from history (fence, reorder buffer, watermark)
+        for key in ("epoch_id", "state_path", "horizon"):
+            for s in reversed(hist):
+                if key in s.summary:
+                    retained_ids.add(s.snapshot_id)
+                    break
+        live = {
+            _norm_path(e["path"])
+            for s in hist
+            if s.snapshot_id in retained_ids
+            for v in s.files.values()
+            for e in v
+        }
+        expired = [s.snapshot_id for s in hist if s.snapshot_id not in retained_ids]
+
+        deleted_files, freed_bytes = 0, 0
+        data_root = os.path.join(self.path, DATA_DIR)
+        for dirpath, _, fns in os.walk(data_root):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                if _norm_path(p) in live:
+                    continue
+                freed_bytes += os.path.getsize(p)
+                deleted_files += 1
+                if not dry_run:
+                    os.unlink(p)
+        # durable reorder-buffer state dirs (_state/ep_N, one per epoch):
+        # only the retained snapshots' state_path values are recoverable —
+        # the rest are dead weight growing with epoch count.
+        live_state = {
+            _norm_path(s.summary["state_path"])
+            for s in hist
+            if s.snapshot_id in retained_ids and s.summary.get("state_path")
+        }
+        deleted_state_dirs = 0
+        state_root = os.path.join(self.path, "_state")
+        if os.path.isdir(state_root):
+            for d in sorted(os.listdir(state_root)):
+                p = os.path.join(state_root, d)
+                if os.path.isdir(p) and _norm_path(p) not in live_state:
+                    deleted_state_dirs += 1
+                    if not dry_run:
+                        shutil.rmtree(p)
+
+        if not dry_run:
+            for sid in expired:
+                os.unlink(self._log_path(sid))
+            # sweep now-empty write dirs (data/snap-*/_bucket=*)
+            for dirpath, _, _ in os.walk(data_root, topdown=False):
+                if dirpath != data_root and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        return {
+            "expired_snapshots": len(expired),
+            "retained_snapshots": sorted(retained_ids),
+            "deleted_files": deleted_files,
+            "deleted_state_dirs": deleted_state_dirs,
+            "freed_bytes": freed_bytes,
+            "dry_run": dry_run,
+        }
 
     # ------------------------------------------------------------- evolution
 
