@@ -32,6 +32,36 @@ def _state_key(rows):
     return sorted((r["url"], r["warc_ts"], r["fetch_status"], r["score"]) for r in rows)
 
 
+def test_inline_expiry_matches_unexpired_replay(spark, tmp_table_dir):
+    """expire_every_n_epochs GC mid-replay never changes the final state
+    and keeps history/storage bounded while the stream runs."""
+    changes = gen_page_changes(spark, 3000, seed=33, epoch_size=300).cache()
+    plain = CdcIngest(
+        spark, os.path.join(tmp_table_dir, "plain"), CdcConfig(fold_parallelism=8)
+    )
+    plain.replay(changes, epoch_size=300)
+    gc = CdcIngest(
+        spark,
+        os.path.join(tmp_table_dir, "gc"),
+        CdcConfig(
+            fold_parallelism=8,
+            compact_threshold=2,
+            expire_every_n_epochs=2,
+            expire_keep_last=2,
+        ),
+    )
+    gc.replay(changes, epoch_size=300)
+    assert _state_key(gc.final_state().collect()) == _state_key(
+        plain.final_state().collect()
+    )
+    assert len(gc.table.history()) < len(plain.table.history())
+    # storage bounded too: GC'd table holds fewer data files despite the
+    # extra compactions its config forces
+    assert _n_parquet(os.path.join(tmp_table_dir, "gc", "data")) <= _n_parquet(
+        os.path.join(tmp_table_dir, "plain", "data")
+    ) + 16
+
+
 def test_expire_snapshots_gc(spark, tmp_table_dir):
     cfg = CdcConfig(fold_parallelism=8, compact_threshold=2)  # frequent compaction
     changes = gen_page_changes(spark, 4000, seed=21, epoch_size=500).cache()

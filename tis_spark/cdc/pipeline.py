@@ -197,6 +197,7 @@ class CdcIngest:
             epoch_id, state_path, max_seq, metrics_rows, totals, t0, files, horizon=horizon
         )
         self._maybe_compact(committed, epoch_id)
+        self._maybe_expire(epoch_id)
         wall_ms = int((time.time() - t0) * 1000)
         return {"epoch_id": epoch_id, "admitted_horizon": horizon, "wall_ms": wall_ms, **totals}
 
@@ -264,6 +265,16 @@ class CdcIngest:
                 summary={"after_epoch": epoch_id},
                 max_records_per_file=self.cfg.compact_max_records_per_file,
             )
+
+    def _maybe_expire(self, epoch_id: int) -> None:
+        """Periodic lake GC (driver-side metadata + file unlinks only): a
+        continuous stream otherwise strands a superseded base generation
+        per compaction and one _state dir per epoch — at 10^10 events
+        dead bytes dominate live rows without this.  Single-writer safe
+        (runs on the same driver as the commits it prunes)."""
+        every = self.cfg.expire_every_n_epochs
+        if every and epoch_id % every == 0:
+            self.table.expire_snapshots(keep_last=self.cfg.expire_keep_last)
 
     # ------------------------------------------------------------- full build
 

@@ -94,6 +94,12 @@ class CdcConfig:
     # backoff; retry counts surface in the commit summary lineage.
     commit_retries: int = 3
     commit_retry_backoff_s: float = 5.0
+    # Periodic lake GC (snapshot expiry + orphan-file delete, see
+    # LakeTable.expire_snapshots): every N epochs, keep the newest
+    # expire_keep_last snapshots (recovery-state carriers always survive).
+    # 0 disables (default: history retained for time travel / audits).
+    expire_every_n_epochs: int = 0
+    expire_keep_last: int = 10
     # Rate limiting (reference C1, RateLimiter 200/600 ev/s ceiling,
     # BasicRMListener.java:171-173): cap admitted events per epoch; excess
     # stays in the durable reorder buffer for later epochs.  seq is a dense
