@@ -1,0 +1,64 @@
+"""Plan-audit regression tests: pin the physical-plan properties the
+operator docstrings claim (shuffle counts, predicate pushdown).  A code
+change that silently adds an Exchange to a shuffle-free operator or drops
+a pushed filter is a scale regression that row-level oracles cannot see.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = entry_mod.queries()
+
+
+def plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(p: str) -> int:
+    # count physical Exchange operators (node list entries like "Exchange (4)")
+    return sum(
+        1
+        for line in p.splitlines()
+        if line.strip().startswith(("Exchange", "+- Exchange"))
+        or "Exchange (" in line.split(":")[0]
+    )
+
+
+def test_quality_ops_are_shuffle_free(spark):
+    for name in ("text_repetition_ratio", "gopher_quality_filter"):
+        p = plan(spark, name)
+        assert "Exchange" not in p, f"{name} gained a shuffle:\n{p}"
+
+
+def test_asof_join_is_single_shuffle(spark):
+    p = plan(spark, "asof_join_prior_view")
+    assert n_exchanges(p) == 1, p
+
+
+def test_rollup_is_single_shuffle(spark):
+    p = plan(spark, "rollup_returnflag_status")
+    assert "Expand" in p, p  # rollup expands grouping sets in one pass
+    assert n_exchanges(p) == 1, p
+
+
+def test_q3_pushes_filters_to_scan(spark):
+    p = plan(spark, "q3_shipping_priority")
+    assert "PushedFilters" in p, p
+    assert "l_shipdate" in p.split("PushedFilters", 2)[-1][:2000] or (
+        "l_shipdate" in p
+    ), p
+
+
+def test_sampling_fuses_into_scan(spark):
+    # stratified sampling is a map-side filter + one aggregate shuffle
+    p = plan(spark, "sample_stratified")
+    assert n_exchanges(p) <= 1, p
