@@ -24,6 +24,28 @@ CHUNK = 1000
 N_EVENTS = 3000
 
 
+def _run_available(spark, src, ck, cfg, out_dir):
+    """Drive the stateful changelog with a *recoverable* sink (foreachBatch
+    appending parquet — the memory sink cannot resume from a checkpoint)."""
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_fold_stream(stream, cfg)
+        .writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    return spark.read.parquet(out_dir).collect()
+
+
 def _event(r) -> dict:
     return {
         "op": r["op"],
@@ -41,6 +63,57 @@ def _event(r) -> dict:
             "score": r["a_score"],
         },
     }
+
+
+def test_stateful_state_survives_restart(spark, tmp_table_dir):
+    """The state store persists across query restarts: feed half the
+    stream, stop, add the rest, restart from the same checkpoint — the
+    combined emissions equal a single uninterrupted run's final state."""
+    cfg = CdcConfig()
+    changes = gen_page_changes(spark, 2000, seed=17, epoch_size=500).cache()
+    half = changes.filter("delivery_key < 1000")
+    rest = changes.filter("delivery_key >= 1000")
+
+    import os
+
+    src_a = f"{tmp_table_dir}/src_split"
+    ck = f"{tmp_table_dir}/ck_split"
+    out = f"{tmp_table_dir}/out_split"
+    write_stream_chunks(half, src_a, chunk_size=500)
+    em1 = _run_available(spark, src_a, ck, cfg, out)
+    # append the remaining chunks, restart from the same checkpoint
+    n0 = len(os.listdir(src_a))
+    tmp2 = f"{tmp_table_dir}/src_tmp2"
+    write_stream_chunks(rest, tmp2, chunk_size=500)
+    for i, fn in enumerate(sorted(os.listdir(tmp2))):
+        os.rename(os.path.join(tmp2, fn), os.path.join(src_a, f"chunk-{n0 + i:06d}.parquet"))
+    em2 = _run_available(spark, src_a, ck, cfg, out)  # cumulative emissions
+    assert len(em2) > len(em1), "restarted query processed no new batches"
+
+    final: dict[str, object] = {}
+    for r in em2:
+        if r["url"] not in final or r["n_folds"] > final[r["url"]]["n_folds"]:
+            final[r["url"]] = r
+
+    # uninterrupted reference run over the identical chunk sequence
+    src_b = f"{tmp_table_dir}/src_whole"
+    os.makedirs(src_b)
+    for fn in sorted(os.listdir(src_a)):
+        os.link(os.path.join(src_a, fn), os.path.join(src_b, fn))
+    em_ref = _run_available(
+        spark, src_b, f"{tmp_table_dir}/ck_whole", cfg, f"{tmp_table_dir}/out_whole"
+    )
+    ref: dict[str, object] = {}
+    for r in em_ref:
+        if r["url"] not in ref or r["n_folds"] > ref[r["url"]]["n_folds"]:
+            ref[r["url"]] = r
+
+    assert set(final) == set(ref)
+    for url, g in final.items():
+        e = ref[url]
+        assert (g["exists"], g["warc_ts_us"], g["fetch_status"], g["score"], g["n_folds"]) == (
+            e["exists"], e["warc_ts_us"], e["fetch_status"], e["score"], e["n_folds"]
+        ), url
 
 
 def test_stateful_lww_stream_matches_sequential_fold(spark, tmp_table_dir):
