@@ -205,3 +205,25 @@ def test_small_table_skips_pruning(spark, tmp_path_factory):
     changes = gen_star_changes(spark, 100, 40, seed=7, epoch_size=100)
     pipe.replay(changes, epoch_size=100)
     assert pipe.prune_stats == {}
+
+
+def test_star_expire_preserves_state(spark, tmp_path_factory):
+    """Lake GC across every star table keeps the wide state and the
+    exactly-once fences intact while reclaiming the base generations the
+    (frequent, threshold=2) compactions strand."""
+    root = str(tmp_path_factory.mktemp("wide-gc"))
+    spec = totalpay_spec()
+    pipe = WideRowPipeline(spark, root, spec, totalpay_wide, compact_threshold=2)
+    pipe.full_build(initial_tables_spark(spark, N_PRIMARY))
+    changes = gen_star_changes(spark, N_EVENTS, N_PRIMARY, seed=42, epoch_size=100)
+    pipe.replay(changes, epoch_size=100)
+    state = replay_star_oracle(spec, initial_tables(N_PRIMARY), changes.collect())
+
+    reports = pipe.expire(keep_last=2)
+    assert set(reports) == {*pipe.sources.keys(), "wide"}
+    assert sum(r["deleted_files"] for r in reports.values()) > 0
+    _assert_wide_equal(_final_pdf(pipe), expected_wide(state))
+    # redelivery after GC is still fenced per table
+    pipe2 = WideRowPipeline(spark, root, totalpay_spec(), totalpay_wide)
+    pipe2.replay(changes, epoch_size=100)
+    _assert_wide_equal(_final_pdf(pipe2), expected_wide(state))

@@ -570,6 +570,17 @@ class WideRowPipeline:
             if due:
                 lake.compact(sorted(due), max_records_per_file=self.base_file_rows)
 
+    def expire(self, keep_last: int = 10, dry_run: bool = False) -> dict[str, dict]:
+        """Lake GC across the whole star (every source table + the wide
+        table): each compaction strands a base generation per table, so a
+        long-running star pipeline multiplies the dead-storage problem by
+        the table count.  Recovery-state retention rules are enforced per
+        table by LakeTable.expire_snapshots."""
+        return {
+            name: lake.expire_snapshots(keep_last=keep_last, dry_run=dry_run)
+            for name, lake in [*self.sources.items(), ("wide", self.wide)]
+        }
+
     # ------------------------------------------------------------- replay
 
     def replay(self, events: DataFrame, epoch_size: int = 500) -> list[dict]:
