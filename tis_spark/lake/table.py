@@ -797,8 +797,9 @@ class LakeTable:
         return snap
 
 
-# Widening lattice per the reference (ColumnMetaData.java:207-239):
-# tinyint/smallint -> int -> long; float -> double; decimal -> double.
+# Widening lattice per the reference (ColumnMetaData.java:207-239, DataX
+# collapse :125-151): tinyint/smallint -> int -> long; float -> double;
+# decimal -> double; date -> timestamp.
 _WIDEN_OK: set[tuple[str, str]] = {
     ("byte", "short"),
     ("byte", "integer"),
@@ -807,6 +808,7 @@ _WIDEN_OK: set[tuple[str, str]] = {
     ("short", "long"),
     ("integer", "long"),
     ("float", "double"),
+    ("decimal", "double"),
     ("date", "timestamp"),
 }
 
