@@ -70,7 +70,14 @@ def streams(draw):
     n_epochs = draw(st.integers(1, 3))
     cuts = sorted(draw(st.sets(st.integers(1, len(delivered) - 1), min_size=n_epochs - 1, max_size=n_epochs - 1)))
     policy = draw(st.sampled_from(["ignore", "delete"]))
-    return delivered, cuts, policy
+    # chaos: run the most aggressive lake GC (keep_last=1) and/or a process
+    # restart (fresh CdcIngest re-reading fences + reorder state from the
+    # table) after arbitrary epochs — neither may perturb the final state.
+    gc_after = sorted(draw(st.sets(st.integers(0, n_epochs - 1), max_size=n_epochs)))
+    restart_after = sorted(
+        draw(st.sets(st.integers(0, n_epochs - 2), max_size=1)) if n_epochs > 1 else set()
+    )
+    return delivered, cuts, policy, gc_after, restart_after
 
 
 @pytest.mark.slow
@@ -81,7 +88,7 @@ def streams(draw):
 )
 @given(data=streams())
 def test_random_stream_matches_oracle(spark, data):
-    delivered, cuts, policy = data
+    delivered, cuts, policy, gc_after, restart_after = data
     for i, ev in enumerate(delivered):
         ev["delivery_key"] = i
     bounds = [0, *cuts, len(delivered)]
@@ -100,6 +107,10 @@ def test_random_stream_matches_oracle(spark, data):
                 ev["epoch_hint"] = e
             df = spark.createDataFrame(chunk, CHANGE_SCHEMA)
             ingest.process_epoch(df, e, final_flush=(e == len(bounds) - 2))
+            if e in gc_after:
+                ingest.table.expire_snapshots(keep_last=1)
+            if e in restart_after:
+                ingest = CdcIngest(spark, table_dir, cfg)
         engine = _final_pdf(ingest)
         oracle = replay_oracle(
             spark.createDataFrame(delivered, CHANGE_SCHEMA).collect(), cfg
