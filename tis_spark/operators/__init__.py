@@ -29,4 +29,4 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-from tis_spark.operators import analytics, datax_sync, indexing, mlops, quality, relational, temporal, traindata, widerow  # noqa: E402,F401  (registration side effects)
+from tis_spark.operators import analytics, datax_sync, indexing, mlops, multimodal, quality, relational, temporal, traindata, widerow  # noqa: E402,F401  (registration side effects)
