@@ -62,3 +62,26 @@ def test_sampling_fuses_into_scan(spark):
     # stratified sampling is a map-side filter + one aggregate shuffle
     p = plan(spark, "sample_stratified")
     assert n_exchanges(p) <= 1, p
+
+
+def test_lake_scalar_read_prunes_payload_columns(spark, tmp_table_dir):
+    """The fold's payload-free claim depends on Catalyst pushing column
+    pruning through the MOR reconcile (union + window + anti-join): a
+    scalar projection over LakeTable.read() must not read html/text from
+    parquet."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.fixtures.gen import gen_page_changes
+
+    ing = CdcIngest(spark, tmp_table_dir, CdcConfig(fold_parallelism=4))
+    ing.replay(gen_page_changes(spark, 400, seed=3, epoch_size=400), epoch_size=400)
+    df = ing.table.read().select("url", "warc_ts", "fetch_status")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schemas, p
+    assert all("html" not in l and "text" not in l for l in schemas), p
