@@ -38,6 +38,7 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -138,6 +139,14 @@ class CdcIngest:
         pending = self._load_pending()
         if pending is not None:
             events = events.unionByName(pending)
+        # The epoch runs 3-4 actions over the batch (meta aggregate,
+        # reorder-buffer write, fold, winner-payload join); without a cache
+        # each one re-scans (and re-decodes) the source micro-batch —
+        # measured ~4.2x numInputRows per epoch, and with a non-replayable
+        # MQ source re-reading isn't even guaranteed cheap.  Persist keeps
+        # lineage (safe under block loss, unlike localCheckpoint) and
+        # spills batch-sized data at worst.
+        events = events.persist(StorageLevel.MEMORY_AND_DISK)
 
         snap = self.table.current_snapshot()
         url = F.coalesce(F.col("after.url"), F.col("before.url"))
@@ -154,6 +163,7 @@ class CdcIngest:
         ).first()
         max_seq = meta["max_seq"]
         if max_seq is None:
+            events.unpersist(blocking=False)
             self._commit(epoch_id, "", 0, [], {}, t0, horizon=self._last_horizon)
             return {"epoch_id": epoch_id, "admitted": 0}
 
@@ -193,6 +203,7 @@ class CdcIngest:
         )
 
         totals = {c: int(sum(m.get(c) or 0 for m in metrics_rows)) for c in COUNTER_NAMES}
+        events.unpersist(blocking=False)
         committed = self._commit(
             epoch_id, state_path, max_seq, metrics_rows, totals, t0, files, horizon=horizon
         )
