@@ -104,6 +104,12 @@ class CdcIngest:
         self._last_state = self._scan_last_state_path()
         self._last_horizon = self._scan_last_horizon()
         self._epoch_retries = 0
+        # Writer's snapshot view (C8 exec-lock, optimistic form): every
+        # publish this writer performs passes expected_snapshot_id so a
+        # concurrent foreign writer makes the commit raise CommitConflict
+        # atomically (create-if-absent snapshot ids) instead of silently
+        # double-applying an epoch on top of the competitor's state.
+        self._view = self.table.current_snapshot().snapshot_id
 
     # ------------------------------------------------------------- state
 
@@ -149,6 +155,12 @@ class CdcIngest:
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
 
         snap = self.table.current_snapshot()
+        if snap.snapshot_id != self._view:
+            events.unpersist(blocking=False)
+            raise CommitConflict(
+                f"table advanced to snapshot {snap.snapshot_id} behind this "
+                f"writer (view {self._view}): concurrent writer detected"
+            )
         url = F.coalesce(F.col("after.url"), F.col("before.url"))
         row_ev = (F.col("op") != "DDL") & F.col("table").isin(*self.cfg.table_focus)
         bucket_of = F.pmod(F.xxhash64(url), F.lit(snap.num_buckets)).cast("int")
@@ -182,11 +194,16 @@ class CdcIngest:
         # DDL events bump the registry before the row merge (monotonic).
         ddls = sorted((r for r in meta["ddls"] if r["seq"] <= horizon), key=lambda r: r["seq"])
         for r in ddls:
-            self._publish_with_retry(
+            evolved = self._publish_with_retry(
                 lambda r=r: apply_ddl(
-                    self.table, r["ddl"], summary={"epoch_ddl": epoch_id, "at_seq": r["seq"]}
+                    self.table,
+                    r["ddl"],
+                    summary={"epoch_ddl": epoch_id, "at_seq": r["seq"]},
+                    expected_snapshot_id=self._view,
                 )
             )
+            if evolved is not None:
+                self._view = evolved.snapshot_id
 
         # ③ fold + ④ delta write (merge_into); ``touched`` is a superset of
         # the admitted rows' buckets (it includes still-pending rows), which
@@ -234,8 +251,12 @@ class CdcIngest:
             "bucket_metrics": lineage,
         }
         committed = self._publish_with_retry(
-            lambda: self.table.commit(files or {}, summary=summary), summary
+            lambda: self.table.commit(
+                files or {}, summary=summary, expected_snapshot_id=self._view
+            ),
+            summary,
         )
+        self._view = committed.snapshot_id
         self._last_epoch = epoch_id
         self._last_state = state_path if state_path else None
         self._last_horizon = int(horizon)
@@ -271,11 +292,14 @@ class CdcIngest:
             if n >= self.cfg.compact_threshold
         ]
         if due:
-            self.table.compact(
+            compacted = self.table.compact(
                 sorted(due),
                 summary={"after_epoch": epoch_id},
                 max_records_per_file=self.cfg.compact_max_records_per_file,
+                expected_snapshot_id=self._view,
             )
+            if compacted is not None:
+                self._view = compacted.snapshot_id
 
     def _maybe_expire(self, epoch_id: int) -> None:
         """Periodic lake GC (driver-side metadata + file unlinks only): a
@@ -341,11 +365,14 @@ class CdcIngest:
             kind="base",
             max_records_per_file=self.cfg.compact_max_records_per_file,
         )
-        return self.table.commit(
+        built = self.table.commit(
             files,
             replaced_buckets={str(b) for b in range(snap.num_buckets)},
             summary={"full_build": True, "n_files": sum(len(v) for v in files.values())},
+            expected_snapshot_id=self._view,
         )
+        self._view = built.snapshot_id
+        return built
 
     # ------------------------------------------------------------- replay
 

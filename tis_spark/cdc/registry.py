@@ -45,25 +45,33 @@ def parse_ddl(ddl: str) -> tuple[str, str, T.DataType]:
     raise ValueError(f"unsupported DDL: {ddl!r}")
 
 
-def apply_ddl(table: LakeTable, ddl: str, summary: dict | None = None) -> bool:
-    """Apply one DDL statement idempotently. Returns True if the schema
-    actually changed (False => already applied, e.g. crash-replay)."""
+def apply_ddl(
+    table: LakeTable,
+    ddl: str,
+    summary: dict | None = None,
+    expected_snapshot_id: int | None = None,
+):
+    """Apply one DDL statement idempotently.  Returns the new Snapshot if
+    the schema actually changed, None if it was already applied (e.g.
+    crash-replay).  ``expected_snapshot_id`` fences the evolve commit
+    against concurrent writers (optimistic concurrency, C8)."""
     kind, name, dtype = parse_ddl(ddl)
     snap = table.current_snapshot()
     schema = snap.schema
     names = [f.name for f in schema.fields]
     if kind == "add":
         if name in names:
-            return False
+            return None
         new = T.StructType(list(schema.fields) + [T.StructField(name, dtype, True)])
     else:
         if name not in names:
             raise ValueError(f"ALTER of unknown column {name}")
         cur = schema[name].dataType
         if cur == dtype:
-            return False
+            return None
         new = T.StructType(
             [T.StructField(f.name, dtype if f.name == name else f.dataType, f.nullable) for f in schema.fields]
         )
-    table.evolve_schema(new, summary={"ddl": ddl, **(summary or {})})
-    return True
+    return table.evolve_schema(
+        new, summary={"ddl": ddl, **(summary or {})}, expected_snapshot_id=expected_snapshot_id
+    )

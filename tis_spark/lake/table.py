@@ -641,6 +641,7 @@ class LakeTable:
         buckets: list[int],
         summary: dict | None = None,
         max_records_per_file: int = 0,
+        expected_snapshot_id: int | None = None,
     ) -> Snapshot | None:
         """Fold a bucket's deltas into a fresh base generation (keys unique,
         tombstones dropped, per-row _commit preserved so a concurrent
@@ -673,6 +674,7 @@ class LakeTable:
             files,
             replaced_buckets=replaced,
             summary={"compaction": sorted(int(b) for b in replaced), **(summary or {})},
+            expected_snapshot_id=expected_snapshot_id,
         )
 
     # ------------------------------------------------------------- expiration
@@ -766,7 +768,12 @@ class LakeTable:
 
     # ------------------------------------------------------------- evolution
 
-    def evolve_schema(self, new_schema: T.StructType, summary: dict | None = None) -> Snapshot:
+    def evolve_schema(
+        self,
+        new_schema: T.StructType,
+        summary: dict | None = None,
+        expected_snapshot_id: int | None = None,
+    ) -> Snapshot:
         """Commit a schema change (add column / widen type). Existing data
         files are untouched; reads harmonize (cast/null-fill) lazily.
 
@@ -775,6 +782,10 @@ class LakeTable:
         snapshot) mapped onto table metadata instead of a console DB.
         """
         parent = self.current_snapshot()
+        if expected_snapshot_id is not None and parent.snapshot_id != expected_snapshot_id:
+            raise CommitConflict(
+                f"expected parent {expected_snapshot_id}, found {parent.snapshot_id}"
+            )
         old = parent.schema
         _validate_evolution(old, new_schema)
         ver = parent.schema_version + 1
