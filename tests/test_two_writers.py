@@ -48,6 +48,28 @@ def test_stale_second_writer_is_fenced(spark, tmp_table_dir):
     assert _key(fresh.final_state()) == state
 
 
+def test_stale_second_wide_writer_is_fenced(spark, tmp_table_dir):
+    from tis_spark.fixtures.star import (
+        gen_star_changes,
+        initial_tables_spark,
+        totalpay_spec,
+    )
+    from tis_spark.wide import WideRowPipeline
+    from tis_spark.wide.totalpay import totalpay_wide
+
+    spec = totalpay_spec()
+    a = WideRowPipeline(spark, tmp_table_dir, spec, totalpay_wide)
+    a.full_build(initial_tables_spark(spark, 40))
+    changes = gen_star_changes(spark, 100, 40, seed=7, epoch_size=100).cache()
+    b = WideRowPipeline(spark, tmp_table_dir, spec, totalpay_wide)  # snapshot view now
+    a.replay(changes, epoch_size=100)  # advances every table behind b's back
+    state = sorted(tuple(r) for r in a.final_wide().select("totalpay_id", "version").collect())
+    with pytest.raises(CommitConflict):
+        b.process_epoch(changes, 99)  # not fenced by epoch id, but stale view
+    c = WideRowPipeline(spark, tmp_table_dir, spec, totalpay_wide)
+    assert sorted(tuple(r) for r in c.final_wide().select("totalpay_id", "version").collect()) == state
+
+
 def test_commit_expected_snapshot_guard(spark, tmp_table_dir):
     """The lake-level guard itself: commit/evolve against a stale parent id
     conflicts before publishing anything."""

@@ -109,10 +109,17 @@ class WideRowPipeline:
         self.prune_stats: dict[str, dict[str, int]] = {}
         self.sources: dict[str, LakeTable] = {}
         self.wide: LakeTable | None = None
+        #: per-table snapshot view of THIS writer (optimistic exec-lock,
+        #: C8): every commit passes its table's view as
+        #: expected_snapshot_id so a concurrent foreign writer raises
+        #: CommitConflict instead of double-applying (see cdc/pipeline.py).
+        self._views: dict[str, int] = {}
         if LakeTable.exists(os.path.join(root, "wide")):
             self.wide = LakeTable.load(spark, os.path.join(root, "wide"))
+            self._views["wide"] = self.wide.current_snapshot().snapshot_id
             for name in spec.tables:
                 self.sources[name] = LakeTable.load(spark, self._src_path(name))
+                self._views[name] = self.sources[name].current_snapshot().snapshot_id
 
     def _src_path(self, name: str) -> str:
         return os.path.join(self.root, "sources", name)
@@ -228,7 +235,7 @@ class WideRowPipeline:
 
     # ------------------------------------------------------------- full build
 
-    def _write_full(self, lake: LakeTable, df: DataFrame) -> None:
+    def _write_full(self, lake: LakeTable, df: DataFrame):
         snap = lake.current_snapshot()
         key = lake.layout_key(snap)
         cols = [
@@ -245,10 +252,11 @@ class WideRowPipeline:
         files = lake.write_data_files(
             bucketed, kind="base", max_records_per_file=self.base_file_rows
         )
-        lake.commit(
+        return lake.commit(
             files,
             replaced_buckets={str(b) for b in range(snap.num_buckets)},
             summary={"full_build": True},
+            expected_snapshot_id=snap.snapshot_id,
         )
 
     def full_build(self, source_dfs: dict[str, DataFrame]) -> None:
@@ -270,12 +278,13 @@ class WideRowPipeline:
                 num_buckets=self.num_buckets,
                 layout_col=self._layout_for(name),
             )
-            self._write_full(lake, source_dfs[name])
-            return name, lake
+            built = self._write_full(lake, source_dfs[name])
+            return name, lake, built.snapshot_id
 
         with ThreadPoolExecutor(max_workers=len(self.spec.tables)) as ex:
-            for name, lake in ex.map(_build_one, self.spec.tables.items()):
+            for name, lake, view in ex.map(_build_one, self.spec.tables.items()):
                 self.sources[name] = lake
+                self._views[name] = view
         wide_df = self.wide_fn({n: t.read() for n, t in self.sources.items()})
         pk = self.spec.tables[self.spec.primary].pk
         assert pk in wide_df.columns, f"wide_fn output must carry {pk}"
@@ -287,7 +296,7 @@ class WideRowPipeline:
             version_col="version" if "version" in wide_df.columns else pk,
             num_buckets=self.num_buckets,
         )
-        self._write_full(self.wide, wide_df)
+        self._views["wide"] = self._write_full(self.wide, wide_df).snapshot_id
 
     # ------------------------------------------------------------- helpers
 
@@ -309,6 +318,14 @@ class WideRowPipeline:
         last = self.wide.last_epoch_id()
         if last is not None and epoch_id <= last:
             return {"epoch_id": epoch_id, "skipped": True}
+        from tis_spark.lake.table import CommitConflict
+
+        cur = self.wide.current_snapshot().snapshot_id
+        if cur != self._views["wide"]:
+            raise CommitConflict(
+                f"wide table advanced to snapshot {cur} behind this writer "
+                f"(view {self._views['wide']}): concurrent writer detected"
+            )
 
         # one light pass for per-table lineage counters (C6 parity)
         table_counts = {
@@ -442,7 +459,12 @@ class WideRowPipeline:
                 self.num_buckets, F.col("_bucket")
             )
             files = lake.write_data_files(delta, kind="delta")
-            lake.commit(files, summary={"epoch_id": epoch_id})
+            committed = lake.commit(
+                files,
+                summary={"epoch_id": epoch_id},
+                expected_snapshot_id=self._views[name],
+            )
+            self._views[name] = committed.snapshot_id
             return meta, latest, stored, touched
 
         with ThreadPoolExecutor(max_workers=max(len(monitored), 1)) as ex:
@@ -476,7 +498,11 @@ class WideRowPipeline:
                 route_parts.append(keys)
 
         if not route_parts:
-            self.wide.commit({}, summary={"epoch_id": epoch_id, "tables": table_counts})
+            self._views["wide"] = self.wide.commit(
+                {},
+                summary={"epoch_id": epoch_id, "tables": table_counts},
+                expected_snapshot_id=self._views["wide"],
+            ).snapshot_id
             return {"epoch_id": epoch_id, "n_affected": 0, "tables": table_counts}
 
         affected = self._pin(
@@ -549,26 +575,33 @@ class WideRowPipeline:
         )
         files = self.wide.write_data_files(delta, kind="delta")
         n_affected = affected.count()
-        self.wide.commit(
+        self._views["wide"] = self.wide.commit(
             files,
             summary={
                 "epoch_id": epoch_id,
                 "n_affected": n_affected,
                 "tables": table_counts,
             },
-        )
+            expected_snapshot_id=self._views["wide"],
+        ).snapshot_id
         self._maybe_compact()
         return {"epoch_id": epoch_id, "n_affected": n_affected, "tables": table_counts}
 
     def _maybe_compact(self) -> None:
-        for lake in [*self.sources.values(), self.wide]:
+        for name, lake in [*self.sources.items(), ("wide", self.wide)]:
             due = [
                 int(b)
                 for b, n in lake.current_snapshot().delta_counts().items()
                 if n >= self.compact_threshold
             ]
             if due:
-                lake.compact(sorted(due), max_records_per_file=self.base_file_rows)
+                compacted = lake.compact(
+                    sorted(due),
+                    max_records_per_file=self.base_file_rows,
+                    expected_snapshot_id=self._views[name],
+                )
+                if compacted is not None:
+                    self._views[name] = compacted.snapshot_id
 
     def expire(self, keep_last: int = 10, dry_run: bool = False) -> dict[str, dict]:
         """Lake GC across the whole star (every source table + the wide
