@@ -90,6 +90,12 @@ def test_expire_snapshots_gc(spark, tmp_table_dir):
     # state identical after GC
     assert _state_key(ing.final_state().collect()) == state_before
 
+    # dead write dirs are actually swept (incl. Hadoop .crc/_SUCCESS
+    # sidecars): every remaining leaf dir still holds live parquet
+    for dp, dns, fns in os.walk(os.path.join(tmp_table_dir, "data")):
+        if not dns and fns:
+            assert any(f.endswith(".parquet") for f in fns), (dp, fns)
+
     # time travel: every retained snapshot readable, expired ids raise
     for sid in rep["retained_snapshots"]:
         t.read(snapshot_id=sid).count()

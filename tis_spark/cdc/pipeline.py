@@ -153,10 +153,17 @@ class CdcIngest:
         # lineage (safe under block loss, unlike localCheckpoint) and
         # spills batch-sized data at worst.
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._run_epoch(events, epoch_id, final_flush, t0)
+        finally:
+            # every exit path (incl. CommitConflict / sink failure) releases
+            # the cached batch — a supervisor retrying epochs must not
+            # accumulate one batch-sized cached RDD per failure
+            events.unpersist(blocking=False)
 
+    def _run_epoch(self, events: DataFrame, epoch_id: int, final_flush: bool, t0: float) -> dict:
         snap = self.table.current_snapshot()
         if snap.snapshot_id != self._view:
-            events.unpersist(blocking=False)
             raise CommitConflict(
                 f"table advanced to snapshot {snap.snapshot_id} behind this "
                 f"writer (view {self._view}): concurrent writer detected"
@@ -175,7 +182,6 @@ class CdcIngest:
         ).first()
         max_seq = meta["max_seq"]
         if max_seq is None:
-            events.unpersist(blocking=False)
             self._commit(epoch_id, "", 0, [], {}, t0, horizon=self._last_horizon)
             return {"epoch_id": epoch_id, "admitted": 0}
 
@@ -220,7 +226,6 @@ class CdcIngest:
         )
 
         totals = {c: int(sum(m.get(c) or 0 for m in metrics_rows)) for c in COUNTER_NAMES}
-        events.unpersist(blocking=False)
         committed = self._commit(
             epoch_id, state_path, max_seq, metrics_rows, totals, t0, files, horizon=horizon
         )

@@ -753,9 +753,22 @@ class LakeTable:
         if not dry_run:
             for sid in expired:
                 os.unlink(self._log_path(sid))
-            # sweep now-empty write dirs (data/snap-*/_bucket=*)
+            # sweep dead write dirs (data/snap-*/_bucket=*): a dir with no
+            # live parquet left still holds Hadoop sidecars (.crc files,
+            # _SUCCESS tokens) — drop those too, then the dir itself.
             for dirpath, _, _ in os.walk(data_root, topdown=False):
-                if dirpath != data_root and not os.listdir(dirpath):
+                if dirpath == data_root:
+                    continue
+                entries = os.listdir(dirpath)
+                if any(e.endswith(".parquet") for e in entries):
+                    continue
+                for e in entries:
+                    p = os.path.join(dirpath, e)
+                    if os.path.isfile(p) and (
+                        e.endswith(".crc") or e == "_SUCCESS" or e.startswith(".")
+                    ):
+                        os.unlink(p)
+                if not os.listdir(dirpath):
                     os.rmdir(dirpath)
         return {
             "expired_snapshots": len(expired),

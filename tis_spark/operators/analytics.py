@@ -85,7 +85,7 @@ KMV_K = 16
     """,
 )
 def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-minimum-values distinct sketch per language: keep the {KMV_K}
+    """K-minimum-values distinct sketch per language: keep the 16 (KMV_K)
     smallest md5 hashes of the key; the k-th smallest hash encodes the
     cardinality estimate (E ≈ (k-1)/kth_as_fraction) while staying a pure
     order statistic — deterministic across engines, partitionings and

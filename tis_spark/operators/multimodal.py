@@ -81,7 +81,7 @@ def _frame_sample(iterator):
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque media bytes: treat the blob as
-    fixed-{FRAME_BYTES}-byte frames and emit every {FRAME_STRIDE}-nd one as
+    fixed-64-byte (FRAME_BYTES) frames and emit every 2nd (FRAME_STRIDE) one as
     a typed row (doc, frame_idx, offset, len, probe byte) — the
     video-frame-sample / audio-chunk shape, with the 1->N mapInPandas
     fan-out happening inside the scan pass so unsampled frames are never
@@ -137,10 +137,10 @@ def _resize_sig(iterator):
 )
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing: reduce each blob to a fixed
-    {SIG_POINTS}-point byte signature (every (n//{SIG_POINTS})-th byte, hex)
+    16-point (SIG_POINTS) byte signature (every (n//16)-th byte, hex)
     — the thumbnail-shaped fixed-size output of a real resize, as pure
     byte arithmetic.  Arrow-batched mapInPandas; blobs shorter than
-    {SIG_POINTS} bytes are skipped (filter inside the batch, mirrored by
+    16 bytes are skipped (filter inside the batch, mirrored by
     the oracle's WHERE)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("blob")

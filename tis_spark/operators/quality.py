@@ -47,7 +47,7 @@ REP_N = 3  # word n-gram order for the duplicate-n-gram fraction
     """,
 )
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate word-{REP_N}-gram fraction per document (the Gopher
+    """Duplicate word-3-gram fraction per document (the Gopher
     repetition signal: boilerplate and spam pages repeat themselves).
 
     Pure per-row array arithmetic — build the n-gram list with
@@ -163,7 +163,7 @@ N_TILES = 10
 )
 def length_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length deciles (the distribution audit behind
-    length-filter thresholds): ntile({N_TILES}) over (n_chars, doc_id) —
+    length-filter thresholds): ntile(10) over (n_chars, doc_id) —
     the doc_id tie-break makes tile assignment a total order, identical
     in both engines.
 

@@ -107,7 +107,7 @@ _W_US = RANGE_W_S * 1_000_000
 )
 def range_join_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded range self-join: per user, count ordered event pairs within
-    {RANGE_W_S} s of each other.
+    21,600 s (RANGE_W_S) of each other.
 
     The naive form is an inequality theta-join (O(n^2) per user, and Spark
     would BNL it).  The scale path implemented here buckets ts into
@@ -182,7 +182,7 @@ _GAP_US = SESSION_GAP_S * 1_000_000
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a session breaks after {SESSION_GAP_S} s of
+    """Gap-based sessionization: a session breaks after 86,400 s (SESSION_GAP_S) of
     per-user inactivity; sessions are numbered by a running sum of
     session-start markers (lag + cumsum — the standard two-window batch
     form, both windows on the same (user_id, (ts, event_id)) order so the

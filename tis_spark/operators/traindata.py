@@ -93,7 +93,7 @@ PACK_SHARDS = 32  # parallel pack groups per lang (window partitions)
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: assign docs to fixed token-budget
     bins by running token count in deterministic doc_id order.  The
-    window partitions on (lang, shard = doc_id % {PACK_SHARDS}) — packing is
+    window partitions on (lang, shard = doc_id % PACK_SHARDS) — packing is
     embarrassingly parallel across shards, so no single-reducer window
     over a whole language (the naive PARTITION BY lang serializes 100 TB
     of one language through one task).  bin = floor(start_offset/budget)
@@ -155,11 +155,11 @@ BENCH_MOD = 97  # docs with doc_id % 97 == 0 act as the held-out benchmark
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: flag training docs sharing any word
-    {NGRAM_N}-gram with the held-out benchmark slice (here: doc_id %
-    {BENCH_MOD} == 0 stands in for the benchmark corpus).  Docs carry only
+    4-gram (NGRAM_N) with the held-out benchmark slice (here: doc_id %
+    BENCH_MOD == 0 stands in for the benchmark corpus).  Docs carry only
     md5 gram hashes past the tokenizer, so the join shuffles 16-byte
     keys, never text.  The benchmark gram set is tiny relative to the
-    corpus (1/{BENCH_MOD} of docs) and broadcast — the common case at
+    corpus (1/BENCH_MOD of docs) and broadcast — the common case at
     scale, where benchmarks are MBs against TBs of training data; the
     per-doc distinct-gram count is the contamination score used to drop
     or audit."""
@@ -208,7 +208,7 @@ VOCAB_TOPK = 50
     """,
 )
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary build: top-{VOCAB_TOPK} tokens by document frequency with
+    """Vocabulary build: top-VOCAB_TOPK tokens by document frequency with
     occurrence counts — the corpus statistics pass behind tokenizer
     training and stopword lists.  Partial aggregation happens map-side
     (Catalyst), the final top-k is a TakeOrderedAndProject over the

@@ -17,20 +17,23 @@ from collections import deque
 
 from pyspark.sql.streaming import StreamingQueryListener
 
-ROLLING_WINDOW_MS = 30_000  # reference tis30sAvgRT window
-
 
 class ProgressRecorder(StreamingQueryListener):
-    """Records every micro-batch's progress and serves rolling metrics.
+    """Records micro-batch progress and serves rolling metrics.
 
-    Thread-safe: Spark invokes listener callbacks from the listener-bus
+    Per-batch rows are kept in a bounded deque (``keep_last`` newest —
+    a stream running for weeks must not grow driver memory), while the
+    totals are running counters so they stay exact regardless of the
+    window.  Thread-safe: Spark invokes callbacks from the listener-bus
     thread while callers poll from the main thread.
     """
 
-    def __init__(self):
+    def __init__(self, keep_last: int = 10_000):
         self._lock = threading.Lock()
-        self.batches: list[dict] = []
-        self._recent: deque[tuple[int, float]] = deque()  # (wall_ms, duration_ms)
+        self.batches: deque[dict] = deque(maxlen=keep_last)
+        self._n = 0
+        self._rows = 0
+        self._duration_ms = 0
 
     # -- StreamingQueryListener interface (events carry JSON progress)
     def onQueryStarted(self, event):
@@ -47,8 +50,9 @@ class ProgressRecorder(StreamingQueryListener):
         }
         with self._lock:
             self.batches.append(row)
-            now = len(self.batches)  # monotone tick; wall time unneeded for tests
-            self._recent.append((now, float(row["duration_ms"] or 0)))
+            self._n += 1
+            self._rows += int(row["num_input_rows"] or 0)
+            self._duration_ms += int(row["duration_ms"] or 0)
 
     def onQueryTerminated(self, event):
         pass
@@ -59,16 +63,15 @@ class ProgressRecorder(StreamingQueryListener):
     # -- metrics surface
     def totals(self) -> dict:
         with self._lock:
-            rows = sum(b["num_input_rows"] for b in self.batches)
             return {
-                "n_batches": len(self.batches),
-                "total_input_rows": rows,
-                "total_duration_ms": sum(b["duration_ms"] for b in self.batches),
+                "n_batches": self._n,
+                "total_input_rows": self._rows,
+                "total_duration_ms": self._duration_ms,
             }
 
     def rolling_avg_rt_ms(self, last_n: int = 30) -> float:
         """Average trigger-execution time over the last ``last_n`` batches
         (the batch-count analog of the reference's 30 s rolling RT)."""
         with self._lock:
-            recent = [d for _, d in list(self._recent)[-last_n:]]
+            recent = [b["duration_ms"] for b in list(self.batches)[-last_n:]]
         return sum(recent) / len(recent) if recent else 0.0

@@ -68,7 +68,12 @@ def make_stateful_fold(cfg: CdcConfig):
             return
         pdf = pd.concat(chunks, ignore_index=True)
         # seq order within the batch (the reorder the engine's watermark
-        # buffer does globally); duplicate seqs = redelivery, idempotent.
+        # buffer does globally); duplicate seqs within a batch dedup here.
+        # Cross-batch redelivery protection comes from the checkpointed
+        # source (Structured Streaming replays whole committed batches,
+        # never individual events) — an at-least-once source that re-emits
+        # an old seq as NEW data would re-fold it (rectification tick),
+        # exactly as the reference re-applies a replayed binlog row.
         pdf = pdf.sort_values("seq", kind="stable").drop_duplicates(subset=["seq"])
 
         stored = None
