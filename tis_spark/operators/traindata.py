@@ -190,6 +190,59 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- term salience
+
+SALIENT_TOPK = 3
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM occ GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM occ GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rk
+      FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, rk, tok, tf, df FROM ranked WHERE rk <= {SALIENT_TOPK}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-SALIENT_TOPK tokens ranked by
+    (term frequency desc, document frequency asc, token) — the tf-idf
+    ordering without the idf logarithm, so the ranking is pure integer
+    comparison and hashes identically across engines (log-of-ratio floats
+    would not).  The keyword-extraction pass behind corpus tagging.
+
+    Plan: one (doc, tok) aggregate, one small df aggregate joined back
+    (at web scale the df table is vocabulary-sized — broadcast or
+    shuffle-join, Catalyst/AQE decides), one per-doc window.  Partial
+    aggregation keeps the heavy (doc, tok) stage map-side combined."""
+    occ = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = occ.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = occ.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("tok")
+    )
+    ranked = tf.join(df, "tok").withColumn("rk", F.row_number().over(w))
+    return ranked.filter(F.col("rk") <= SALIENT_TOPK).select(
+        "doc_id", "rk", "tok", "tf", "df"
+    )
+
+
 # ----------------------------------------------------------- vocabulary
 
 VOCAB_TOPK = 50
