@@ -69,8 +69,9 @@ def _cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = dict(REGISTRY)
-    q["cdc_replay_final_state"] = _cdc_replay_final_state
+    # flagship first: the driver's gate caps at 50 queries in dict order
+    q = {"cdc_replay_final_state": _cdc_replay_final_state}
+    q.update(REGISTRY)
     return q
 
 

@@ -28,7 +28,7 @@ from tis_spark.operators import load, query
            grouping(l_returnflag) AS g_flag,
            grouping(l_linestatus) AS g_status,
            count(*) AS n,
-           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,

@@ -1,0 +1,121 @@
+"""Driver-checkable CDC-engine replay (the flagship path, hash-verified).
+
+``cdc_engine_fold_events`` derives a binlog-shaped change stream from the
+driver's ``events`` table (pure column expressions, no randomness), replays
+it through the REAL engine — ``CdcIngest``: durable seq-watermark reorder
+buffer, per-key LWW fold, winner-payload join, epoch-fenced delta commits,
+merge-on-read final read — and returns the final table state.  The DuckDB
+oracle folds the identical derived stream with window functions, which is
+exact because the construction pins every data-dependent semantic branch:
+
+* versions (``warc_ts``) are strictly increasing in ``seq`` per key, so
+  LWW reduces to last-event-wins and rectification (V6) / dirty-drop (V3)
+  never fire;
+* every event carries a before-image whose ``lang`` differs from the
+  after-image, so the U-invariant (validateTable) and no-op suppression
+  (P5, DefaultTable.columnChange) never drop an event;
+* deletes map to the reference's ignore policy (V8,
+  BasicRMListener.java:228-230), so 'error' events are no-ops;
+* a key whose first event is an UPDATE takes the missing-target upsert
+  path (V7) — same final row as an insert.
+
+A green hash therefore proves the whole engine pipeline (reorder, fold,
+payload join incl. the Arrow-batched text extraction, bucketed delta
+write, MOR read) lands on exactly the sequential-LWW answer — the driver
+row the stateful flagship previously lacked (it was pinned only by pytest
+oracles).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tis_spark.operators import load, query
+
+BASE_S = 1_704_067_200  # 2024-01-01T00:00:00Z, the version-clock origin
+
+
+def derived_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table -> CHANGE_SCHEMA stream: seq = event_id + 1 (dense),
+    key = 'u'||user_id, op from event_type, version = origin + seq seconds
+    (strictly monotone), html = a <title> token so the extracted text is a
+    closed-form string both engines can compute."""
+    ev = load(spark, sf_dir, "events")
+    seq = (F.col("event_id") + 1).cast("long")
+    url = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    version = F.timestamp_seconds(F.lit(BASE_S) + seq)
+    token = F.concat(F.lit("pg_"), url, F.lit("_"), seq.cast("string"))
+    after = F.struct(
+        url.alias("url"),
+        version.alias("warc_ts"),
+        F.encode(F.concat(F.lit("<title>"), token, F.lit("</title>")), "UTF-8").alias("html"),
+        F.col("event_type").alias("lang"),
+        F.lit(None).cast("long").alias("fetch_status"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    before = F.struct(
+        url.alias("url"),
+        version.alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("_prev").alias("lang"),  # != any event_type => never a no-op
+        F.lit(None).cast("long").alias("fetch_status"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return ev.select(
+        seq.alias("seq"),
+        seq.alias("delivery_key"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        version.alias("ts_ms"),
+        F.lit("pages").alias("table"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.lit(None).cast("string").alias("ddl"),
+        before.alias("before"),
+        after.alias("after"),
+        (seq % 1_000_000).cast("int").alias("epoch_hint"),
+    )
+
+
+@query(
+    "cdc_engine_fold_events",
+    f"""
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    )
+    SELECT url,
+           ({BASE_S} + seq) * 1000000 AS warc_ts_us,
+           'pg_' || url || '_' || CAST(seq AS VARCHAR) AS text,
+           event_type AS lang
+    FROM win WHERE rn = 1
+    """,
+)
+def cdc_engine_fold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tis_spark.cdc import CdcConfig, CdcIngest
+
+    table_dir = tempfile.mkdtemp(prefix="tis-cdcfold-")
+    changes = derived_changes(spark, sf_dir)
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    ingest.replay(changes, epoch_size=2500)
+    return ingest.final_state().select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "text",
+        "lang",
+    )

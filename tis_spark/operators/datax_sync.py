@@ -24,7 +24,8 @@ from tis_spark.sources.datax import DataxJob, run_datax_job
     "datax_sync_roundtrip",
     """
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_chars) AS sum_chars, sum(doc_id) AS sum_ids
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
     FROM documents
     GROUP BY lang, source
     """,

@@ -95,7 +95,7 @@ SEARCH_TERMS = ("join", "filter", "merge")
       WHERE tok IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}', '{SEARCH_TERMS[2]}')
       GROUP BY doc_id, tok
     )
-    SELECT doc_id, sum(tf) AS score
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
     FROM term_tf
     GROUP BY doc_id
     HAVING count(DISTINCT tok) = {len(SEARCH_TERMS)}
