@@ -699,7 +699,13 @@ class LakeTable:
           a concurrent uncommitted write's files would look orphaned.
 
         Time travel to an expired snapshot id raises FileNotFoundError
-        afterwards (Iceberg semantics).  Returns an action report.
+        afterwards (Iceberg semantics).  The same applies to ANY reader
+        handle older than ``keep_last`` epochs, not just explicit time
+        travel: a DataFrame built from read() resolves file paths at
+        plan-build, so evaluating it after an inline expiry (e.g.
+        ``expire_every_n_epochs``) has dropped its snapshot fails with
+        FileNotFoundError — pick ``expire_keep_last`` with the longest
+        reader lifetime in mind.  Returns an action report.
         """
         hist = self.history()
         retained_ids = {s.snapshot_id for s in hist[-max(keep_last, 1):]}

@@ -53,6 +53,12 @@ def dump_tsv(
         .option("sep", "\t")
         .option("nullValue", NULL_TOKEN)
         .option("emptyValue", "")
+        # raw unquoted TSV like the reference: a NUL quote char (never in
+        # OLTP scalar text) disables quoting, so values are written
+        # byte-for-byte; the no-tabs/newlines caveat above is what makes
+        # this safe (same contract as the reference writer)
+        .option("quote", "\u0000")
+        .option("escapeQuotes", "false")
         .csv(path)
     )
     # rename _grp=N partition dirs to the reference's bare group numbers
@@ -91,6 +97,7 @@ def read_tsv_dump(spark: SparkSession, path: str) -> DataFrame:
         .option("sep", "\t")
         .option("nullValue", NULL_TOKEN)
         .option("emptyValue", "")
+        .option("quote", "\u0000")  # match the writer: no quote handling
         .csv(group_dirs)
     )
 

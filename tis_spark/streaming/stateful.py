@@ -112,7 +112,8 @@ def make_stateful_fold(cfg: CdcConfig):
         row, action, counters = fold_key_events(stored, events, cfg)
         n_folds += counters["n_events"]
         if action == "U":
-            last_seq = row.get("_seq", last_seq) or last_seq
+            ls = row.get("_seq")  # seq 0 is a valid seq — only None is absent
+            last_seq = ls if ls is not None else last_seq
             new = (
                 int(row["warc_ts"]),
                 _opt_int(row["fetch_status"]),
@@ -122,6 +123,13 @@ def make_stateful_fold(cfg: CdcConfig):
                 n_folds,
             )
         elif action == "D":
+            # tombstone provenance: the changelog row carries the seq of the
+            # latest delete event in the batch (the fold ended deleted, so a
+            # delete was the last state-changing event), not the seq of the
+            # final pre-delete update
+            d_seqs = [e["seq"] for e in events if e["op"] == "D"]
+            if d_seqs:
+                last_seq = max(d_seqs)
             new = (None, None, None, last_seq, False, n_folds)
         else:  # N: state unchanged (but fold count advances)
             if stored is None:

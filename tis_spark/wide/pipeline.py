@@ -608,7 +608,9 @@ class WideRowPipeline:
         table): each compaction strands a base generation per table, so a
         long-running star pipeline multiplies the dead-storage problem by
         the table count.  Recovery-state retention rules are enforced per
-        table by LakeTable.expire_snapshots."""
+        table by LakeTable.expire_snapshots.  No-op before full_build."""
+        if self.wide is None:
+            return {}
         return {
             name: lake.expire_snapshots(keep_last=keep_last, dry_run=dry_run)
             for name, lake in [*self.sources.items(), ("wide", self.wide)]
