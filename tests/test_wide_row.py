@@ -149,9 +149,9 @@ def test_delete_policy_removes_child_aggregates(spark, tmp_path_factory):
         pd.DataFrame(
             [
                 {"seq": 1, "op": "D", "table": "payinfo", "pk": "pay000003_0",
-                 "before": None, "after": None, "epoch_hint": 0},
+                 "ddl": None, "before": None, "after": None, "epoch_hint": 0},
                 {"seq": 2, "op": "D", "table": "totalpayinfo", "pk": "tp000005",
-                 "before": None, "after": None, "epoch_hint": 0},
+                 "ddl": None, "before": None, "after": None, "epoch_hint": 0},
             ]
         ),
         schema=gen_star_changes(spark, 1, 1).schema,

@@ -43,6 +43,7 @@ STAR_CHANGE_SCHEMA = T.StructType(
         T.StructField("op", T.StringType(), False),  # I | U | D
         T.StructField("table", T.StringType(), False),
         T.StructField("pk", T.StringType(), False),
+        T.StructField("ddl", T.StringType()),  # op='DDL' rows only (§1.5)
         T.StructField("before", T.MapType(T.StringType(), T.StringType())),
         T.StructField("after", T.MapType(T.StringType(), T.StringType())),
         T.StructField("epoch_hint", T.IntegerType(), False),
@@ -278,7 +279,7 @@ def _gen_star_events(seqs: np.ndarray, n_primary: int, seed: int, epoch_size: in
         if dirty:
             mt = MT0 - 1 - (h % 1000)
         kind = (h >> 16) % 100
-        base = {"seq": s, "before": None, "epoch_hint": s // max(epoch_size, 1)}
+        base = {"seq": s, "ddl": None, "before": None, "epoch_hint": s // max(epoch_size, 1)}
         sm = str(mt)
         if kind < 25:  # update primary amounts/validity
             rows.append(
@@ -419,7 +420,7 @@ def _gen_star_events(seqs: np.ndarray, n_primary: int, seed: int, epoch_size: in
                 }
             )
     return pd.DataFrame(rows)[
-        ["seq", "op", "table", "pk", "before", "after", "epoch_hint"]
+        ["seq", "op", "table", "pk", "ddl", "before", "after", "epoch_hint"]
     ]
 
 

@@ -34,8 +34,26 @@ _TYPE_MAP = {
     "string": T.StringType(),
     "int": T.IntegerType(),
     "bigint": T.LongType(),
+    "float": T.FloatType(),
     "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
     "timestamp": T.TimestampType(),
+}
+
+#: Spark DataType.typeName() -> ER column type string (used when a DDL
+#: event evolves a source table and the spec must follow the lake schema)
+ER_TYPE_NAMES = {
+    "integer": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
 }
 
 

@@ -72,7 +72,7 @@ from tis_spark.lake.table import (
     prune_entries_by_bloom,
     prune_entries_by_keys,
 )
-from tis_spark.wide.er import ERSpec
+from tis_spark.wide.er import ER_TYPE_NAMES, ERSpec
 
 
 class WideRowPipeline:
@@ -311,6 +311,34 @@ class WideRowPipeline:
         ]
         return ev.select("seq", "op", F.col("pk"), *cols)
 
+    def _apply_source_ddls(self, events: DataFrame, epoch_id: int) -> DataFrame:
+        """Apply the batch's DDL events to their source tables in seq
+        order, keep spec metadata in lockstep with the lake schemas, and
+        return the row-event remainder.  Idempotent (apply_ddl no-ops on
+        an already-applied change), so crash-replay of an epoch whose
+        evolve commit landed but whose wide commit didn't is safe."""
+        if "ddl" not in events.columns:
+            return events
+        from tis_spark.cdc.registry import apply_ddl, parse_ddl
+
+        ddls = events.filter(F.col("op") == "DDL").select("seq", "table", "ddl").collect()
+        if not ddls:
+            return events
+        for r in sorted(ddls, key=lambda r: r["seq"]):
+            name = r["table"]
+            assert name in self.sources, f"DDL for unknown source table {name}"
+            evolved = apply_ddl(
+                self.sources[name],
+                r["ddl"],
+                summary={"epoch_ddl": epoch_id, "at_seq": r["seq"]},
+                expected_snapshot_id=self._views[name],
+            )
+            if evolved is not None:
+                self._views[name] = evolved.snapshot_id
+            _, col, dtype = parse_ddl(r["ddl"])
+            self.spec.tables[name].columns[col] = ER_TYPE_NAMES[dtype.typeName()]
+        return events.filter(F.col("op") != "DDL")
+
     # ------------------------------------------------------------- epoch
 
     def process_epoch(self, events: DataFrame, epoch_id: int) -> dict:
@@ -326,6 +354,18 @@ class WideRowPipeline:
                 f"wide table advanced to snapshot {cur} behind this writer "
                 f"(view {self._views['wide']}): concurrent writer detected"
             )
+
+        # DDL routing (§1.5, mirror of cdc/pipeline.py's registry path):
+        # schema changes on SOURCE tables apply at batch start — legal
+        # because the supported evolutions (add column / widen) are
+        # monotonic, so pre-DDL row events in the same batch decode with
+        # the new schema to the same values (absent map keys -> NULL, old
+        # narrow values cast losslessly up the reference's widening
+        # lattice, ColumnMetaData.java:207-239).  The reference versions
+        # these as numbered console-DB schema snapshots
+        # (SchemaAction.java:330,967-1029); here each is an evolve commit
+        # on the table's own lake, fenced by this writer's view (C8).
+        events = self._apply_source_ddls(events, epoch_id)
 
         # one light pass for per-table lineage counters (C6 parity)
         table_counts = {

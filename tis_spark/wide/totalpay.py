@@ -120,7 +120,14 @@ def totalpay_wide(src: dict[str, DataFrame]) -> DataFrame:
 
 # ---------------------------------------------------------------- oracle
 
-_CASTS = {"int": int, "bigint": int, "double": float, "string": str}
+_CASTS = {
+    "int": int,
+    "bigint": int,
+    "float": float,
+    "double": float,
+    "string": str,
+    "boolean": lambda v: v in ("1", "true", "True", True),
+}
 
 
 def replay_star_oracle(spec, initial: dict[str, pd.DataFrame], event_rows: list) -> dict:
@@ -135,6 +142,16 @@ def replay_star_oracle(spec, initial: dict[str, pd.DataFrame], event_rows: list)
     for r in sorted(event_rows, key=lambda r: r["seq"]):
         d = r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
         name = d["table"]
+        if d["op"] == "DDL":
+            # §1.5 registry parity: evolve the table's column set in seq
+            # order; subsequent events decode with the new schema, prior
+            # rows read back NULL for the added column
+            from tis_spark.cdc.registry import parse_ddl
+            from tis_spark.wide.er import ER_TYPE_NAMES
+
+            _, col, dtype = parse_ddl(d["ddl"])
+            spec.tables[name].columns[col] = ER_TYPE_NAMES[dtype.typeName()]
+            continue
         meta = spec.tables.get(name)
         if meta is None or not meta.monitor:
             continue
