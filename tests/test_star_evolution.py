@@ -117,6 +117,28 @@ def test_mid_stream_source_ddl_matches_oracle(spark, tmp_path_factory):
     assert pay["pay000001_0"]["channel"] is None  # nulled by the e3 winner
 
 
+def test_reliable_checkpoint_mode(spark, tmp_path_factory):
+    """checkpoint_intermediates='reliable' pins epoch intermediates to DFS
+    (cluster default: survives executor loss) and replays identically."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("wide-rel"))
+    pipe = WideRowPipeline(
+        spark, root, totalpay_spec(), totalpay_wide,
+        checkpoint_intermediates="reliable",
+    )
+    pipe.full_build(initial_tables_spark(spark, 30))
+    gen = gen_star_changes(spark, 60, 30, seed=9, epoch_size=60)
+    pipe.process_epoch(gen, 0)
+    state = replay_star_oracle(totalpay_spec(), initial_tables(30), gen.collect())
+    got = pipe.final_wide().toPandas().sort_values("totalpay_id").reset_index(drop=True)
+    exp = expected_wide(state)
+    assert list(got["kindpay"]) == list(exp["kindpay"])
+    assert [int(v) for v in got["version"]] == [int(v) for v in exp["version"]]
+    ckpt = spark.sparkContext.getCheckpointDir()
+    assert ckpt and os.listdir(ckpt.replace("file:", ""))
+
+
 def test_ddl_redelivery_is_idempotent(spark, tmp_path_factory):
     """Crash-replay of an epoch whose evolve commit landed but whose wide
     commit didn't must not double-apply the DDL (apply_ddl no-ops)."""

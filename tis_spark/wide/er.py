@@ -102,26 +102,53 @@ class ERSpec:
     def children_of(self, table: str) -> list[Relation]:
         return [r for r in self.relations if r.parent == table]
 
+    def parent_relations(self, table: str) -> list[Relation]:
+        """All relations in which ``table`` is the child.  The reference's
+        ER model allows a child row to link multiple parents (a
+        CompositePK routes on any of them, CompositePK.java:25-48); a
+        change to such a row must re-derive EVERY linked wide row."""
+        return [r for r in self.relations if r.child == table]
+
     def parent_relation(self, table: str) -> Relation | None:
-        rels = [r for r in self.relations if r.child == table]
-        assert len(rels) <= 1, f"{table}: multiple parents unsupported"
+        """First-declared parent relation — the physical-layout choice for
+        multi-parent children (a row can only be clustered by one FK)."""
+        rels = self.parent_relations(table)
         return rels[0] if rels else None
 
-    def chain_to_primary(self, table: str) -> list[Relation]:
-        """Relation path child -> ... -> primary (empty for the primary
-        itself).  Mirrors FlatTableRelation.getFinalLinkKey: each hop is a
-        join from the child's FK to its parent's key until the primary."""
-        chain: list[Relation] = []
-        cur = table
-        seen = set()
-        while cur != self.primary:
+    def chains_to_primary(self, table: str) -> list[list[Relation]]:
+        """Every relation path child -> ... -> primary (the multi-parent
+        generalization of FlatTableRelation.getFinalLinkKey,
+        FlatTableRelation.java:176-210 + PrimaryTableMeta.createCompositePK
+        PrimaryTableMeta.java:96-135).  [] for the primary itself; each
+        path is simple (cycle-checked)."""
+        if table == self.primary:
+            return []
+
+        def walk(cur: str, seen: frozenset) -> list[list[Relation]]:
             assert cur not in seen, f"relation cycle at {cur}"
-            seen.add(cur)
-            rel = self.parent_relation(cur)
-            assert rel is not None, f"{table}: no path to primary {self.primary}"
-            chain.append(rel)
-            cur = rel.parent
-        return chain
+            out = []
+            for rel in self.parent_relations(cur):
+                if rel.parent == self.primary:
+                    out.append([rel])
+                else:
+                    out.extend(
+                        [rel, *tail] for tail in walk(rel.parent, seen | {cur})
+                    )
+            return out
+
+        chains = walk(table, frozenset())
+        assert chains, f"{table}: no path to primary {self.primary}"
+        return chains
+
+    def chain_to_primary(self, table: str) -> list[Relation]:
+        """Single relation path child -> ... -> primary (empty for the
+        primary itself) — valid only for tree topologies; multi-parent
+        children must use chains_to_primary."""
+        chains = self.chains_to_primary(table)
+        if not chains:
+            return []
+        assert len(chains) == 1, f"{table}: multiple paths, use chains_to_primary"
+        return chains[0]
 
     # ------------------------------------------------------------- serde
 

@@ -88,7 +88,7 @@ class WideRowPipeline:
         delete_policy: str = "ignore",  # V8: reference ignores deletes
         num_buckets: int = 8,
         compact_threshold: int = 8,
-        checkpoint_intermediates: bool = True,
+        checkpoint_intermediates: bool | str = True,  # True/'local'|'reliable'|False
         lookup_keys_max: int = 100_000,
         base_file_rows: int = 0,  # split sorted bases into zone-prunable files
         fk_layout: bool = True,  # cluster child tables by their routing FK
@@ -138,19 +138,36 @@ class WideRowPipeline:
         return rel.child_key if rel is not None and rel.child_key != self.spec.tables[name].pk else None
 
     def _pin(self, df: DataFrame) -> DataFrame:
-        """Truncate lineage on a per-epoch intermediate (localCheckpoint,
-        eager).  The epoch dataflow references each intermediate several
-        times (stored rows feed upserts AND routing; restricted sources
-        feed every join arm of the wide query; the recomputed wide rows
-        feed upserts AND the tombstone anti-join).  Without pinning,
-        every broadcast-exchange build re-executes its whole upstream
-        subtree — measured 688 Spark jobs / 1,273 s task-time for one
-        5k-event epoch; with pinning the same epoch is ~30 jobs.  Every
-        pinned frame is O(batch)-sized (events, their affected keys, the
-        restricted source slices), never O(table), so executor block
-        storage is bounded.  On a cluster with executor loss concerns,
-        swap for reliable ``checkpoint()`` by flipping this flag."""
-        if self.checkpoint_intermediates:
+        """Truncate lineage on a per-epoch intermediate.  The epoch
+        dataflow references each intermediate several times (stored rows
+        feed upserts AND routing; restricted sources feed every join arm
+        of the wide query; the recomputed wide rows feed upserts AND the
+        tombstone anti-join).  Without pinning, every broadcast-exchange
+        build re-executes its whole upstream subtree — measured 688 Spark
+        jobs / 1,273 s task-time for one 5k-event epoch; with pinning the
+        same epoch is ~30 jobs.  Every pinned frame is O(batch)-sized
+        (events, their affected keys, the restricted source slices),
+        never O(table), so executor/DFS storage is bounded.
+
+        Modes (``checkpoint_intermediates``):
+        * ``True`` / ``"local"`` — ``localCheckpoint`` (default): fastest,
+          but blocks are unreplicated executor storage, so an executor
+          loss kills the epoch (the driver retries it — exactly-once
+          fencing makes the retry safe).  Right for local mode and
+          fail-fast clusters.
+        * ``"reliable"`` — DFS ``checkpoint()`` under ``{root}/_pins``:
+          survives executor loss; **the documented default for
+          long-running cluster deployments** (the pipeline root lives on
+          the same DFS as the lake tables, so no extra infrastructure).
+        * ``False`` — no pinning (debugging only).
+        """
+        mode = self.checkpoint_intermediates
+        if mode == "reliable":
+            sc = self.spark.sparkContext
+            if sc.getCheckpointDir() is None:
+                sc.setCheckpointDir(os.path.join(self.root, "_pins"))
+            return df.checkpoint(eager=True)
+        if mode:
             return df.localCheckpoint(eager=True)
         return df
 
@@ -288,6 +305,21 @@ class WideRowPipeline:
         wide_df = self.wide_fn({n: t.read() for n, t in self.sources.items()})
         pk = self.spec.tables[self.spec.primary].pk
         assert pk in wide_df.columns, f"wide_fn output must carry {pk}"
+        # Router-key layout (reference K4 shard routing on upsert: the
+        # shareId column routes each document to its serving shard,
+        # BasicPojoConsumer.getShareId:439-451; CompositePK =
+        # PK + router values, CompositePK.java:25-48): when the ER spec's
+        # shared_key survives into the wide output, the wide table buckets
+        # by it — co-locating an entity's wide rows the way the reference
+        # co-locates them on one Solr shard.  PK point reads then prune
+        # via per-file PK blooms, like FK-clustered children.
+        router = (
+            self.spec.shared_key
+            if self.fk_layout
+            and self.spec.shared_key in wide_df.columns
+            and self.spec.shared_key != pk
+            else None
+        )
         self.wide = LakeTable.create(
             self.spark,
             os.path.join(self.root, "wide"),
@@ -295,6 +327,7 @@ class WideRowPipeline:
             key_cols=[pk],
             version_col="version" if "version" in wide_df.columns else pk,
             num_buckets=self.num_buckets,
+            layout_col=router,
         )
         self._views["wide"] = self._write_full(self.wide, wide_df).snapshot_id
 
@@ -414,15 +447,19 @@ class WideRowPipeline:
             lake = self.sources[name]
             touched = latest.select(F.col("pk").alias(meta.pk)).distinct()
             # pre-merge stored rows of touched PKs: LWW reference version +
-            # (for children) the old FK for routing.  Bound before commit,
-            # so the plan pins the pre-epoch snapshot's files.
-            rel = self.spec.parent_relation(name)
+            # (for children) the old FK of EVERY parent relation — a
+            # multi-parent child's change must re-derive all linked wide
+            # rows, old and new (CompositePK routing, CompositePK.java:
+            # 25-48).  Bound before commit, so the plan pins the pre-epoch
+            # snapshot's files.
+            fk_cols: list[str] = []
+            for r in self.spec.parent_relations(name):
+                if r.child_key not in fk_cols:
+                    fk_cols.append(r.child_key)
             stored_cols = [
                 F.col(meta.pk).alias("_s_pk"),
                 F.col(meta.version_col).alias("_s_ver"),
-            ]
-            if rel is not None:
-                stored_cols.append(F.col(rel.child_key).alias("_s_fk"))
+            ] + [F.col(ck).alias(f"_s_fk_{ck}") for ck in fk_cols]
             stored = self._pin(
                 self._pruned_read(lake, touched, meta.pk)
                 .join(touched, meta.pk, "left_semi")
@@ -447,7 +484,9 @@ class WideRowPipeline:
                     if f.name == meta.pk:
                         out.append(src_pk.alias(meta.pk))
                     elif layout is not None and f.name == layout:
-                        out.append(F.col("_s_fk").cast(f.dataType).alias(f.name))
+                        out.append(
+                            F.col(f"_s_fk_{layout}").cast(f.dataType).alias(f.name)
+                        )
                     else:
                         out.append(F.lit(None).cast(f.dataType).alias(f.name))
                 return out
@@ -468,7 +507,7 @@ class WideRowPipeline:
                     (F.col("op") != "D")
                     & newer
                     & F.col("_s_ver").isNotNull()  # a stored copy exists
-                    & ~F.col("_s_fk").eqNullSafe(F.col(layout))
+                    & ~F.col(f"_s_fk_{layout}").eqNullSafe(F.col(layout))
                 ).select(
                     *_tomb_cols(F.col("pk")),
                     F.lit(epoch_id).cast("long").alias(COMMIT_COL),
@@ -511,14 +550,16 @@ class WideRowPipeline:
             merged = list(ex.map(_merge_source, monitored))
 
         # Phase 2 — routing keys (J6): after-image FK + stored FK (old
-        # parent); multi-hop chains climb via post-merge source state.
+        # parent) per parent relation; a multi-parent child contributes
+        # the union of every chain's keys.  Multi-hop chains climb via
+        # post-merge source state.
         for meta, latest, stored, touched in merged:
             if meta.name == self.spec.primary:
                 route_parts.append(touched.select(F.col(ppk).alias("_k")))
-            else:
-                chain = self.spec.chain_to_primary(meta.name)
+                continue
+            for chain in self.spec.chains_to_primary(meta.name):
                 fk_new = latest.select(F.col(chain[0].child_key).alias("_k"))
-                fk_old = stored.select(F.col("_s_fk").alias("_k"))
+                fk_old = stored.select(F.col(f"_s_fk_{chain[0].child_key}").alias("_k"))
                 keys = fk_new.unionByName(fk_old).filter(F.col("_k").isNotNull())
                 for hop in chain[1:]:
                     parent_meta = self.spec.tables[hop.child]  # intermediate
@@ -562,54 +603,103 @@ class WideRowPipeline:
                 affected, ppk, "left_semi"
             )
         )
-        pending = [r for r in self.spec.relations]
+        rels_by_child: dict[str, list] = {}
+        for r in self.spec.relations:
+            rels_by_child.setdefault(r.child, []).append(r)
+        pending = dict(rels_by_child)
         done = {self.spec.primary}
         while pending:
-            # one dependency round: every relation whose parent slice is
-            # already restricted; siblings pin thread-parallel (each pin
+            # one dependency round: every child whose parent slices are ALL
+            # restricted already; siblings pin thread-parallel (each pin
             # is an independent Spark job)
-            ready = [r for r in pending if r.parent in done]
-            assert ready, f"unresolvable relation order: {pending}"
+            ready = [c for c, rl in pending.items() if all(r.parent in done for r in rl)]
+            assert ready, f"unresolvable relation order: {sorted(pending)}"
 
-            def _restrict(r):
-                parent_keys = restricted[r.parent].select(
-                    F.col(r.parent_key).alias(r.child_key)
-                )
-                # under fk_layout the child is clustered by r.child_key, so
-                # this read bucket- and zone-prunes to the affected parents'
-                # key ranges instead of scanning the child table
-                child = self._pruned_read(
-                    self.sources[r.child], parent_keys, r.child_key
-                )
-                return r.child, self._pin(
-                    child.join(parent_keys, r.child_key, "left_semi")
-                )
+            def _restrict(child):
+                pk = self.spec.tables[child].pk
+                slices = []
+                for r in pending[child]:
+                    parent_keys = restricted[r.parent].select(
+                        F.col(r.parent_key).alias(r.child_key)
+                    )
+                    # under fk_layout the child is clustered by its FIRST
+                    # relation's child_key, so that read bucket- and
+                    # zone-prunes to the affected parents' key ranges
+                    # instead of scanning the child table
+                    sliced = self._pruned_read(
+                        self.sources[child], parent_keys, r.child_key
+                    ).join(parent_keys, r.child_key, "left_semi")
+                    slices.append(sliced)
+                # multi-parent child: a row qualifies through ANY linked
+                # parent (OR of the semi-joins); downstream wide_fn joins
+                # against the restricted primary drop the surplus partial
+                # aggregates of unaffected parents
+                df = slices[0]
+                for s in slices[1:]:
+                    df = df.unionByName(s)
+                if len(slices) > 1:
+                    df = df.dropDuplicates([pk])
+                return child, self._pin(df)
 
             with ThreadPoolExecutor(max_workers=len(ready)) as ex:
                 for child, df in ex.map(_restrict, ready):
                     restricted[child] = df
                     done.add(child)
-            pending = [r for r in pending if r not in ready]
+            pending = {c: rl for c, rl in pending.items() if c not in ready}
 
         wide_new = self._pin(self.wide_fn(restricted))
         wsnap = self.wide.current_snapshot()
+        wlayout = wsnap.layout_col  # router/shared key, when bucketed by it
         upserts = wide_new.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in wsnap.schema.fields],
             F.lit(epoch_id).cast("long").alias(COMMIT_COL),
             F.lit(False).alias(DEAD_COL),
         )
-        tombstones = affected.join(wide_new.select(ppk), ppk, "left_anti").select(
-            F.col(ppk),
-            *[
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in wsnap.schema.fields
-                if f.name != ppk
-            ],
-            F.lit(epoch_id).cast("long").alias(COMMIT_COL),
-            F.lit(True).alias(DEAD_COL),
-        )
+
+        def _wide_tomb(df, old_router=None):
+            """Tombstone rows: pk + (router layout) the STORED router value
+            so the tombstone lands in the row's current bucket."""
+            return df.select(
+                F.col(ppk),
+                *[
+                    (
+                        old_router.cast(f.dataType)
+                        if wlayout is not None and f.name == wlayout
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in wsnap.schema.fields
+                    if f.name != ppk
+                ],
+                F.lit(epoch_id).cast("long").alias(COMMIT_COL),
+                F.lit(True).alias(DEAD_COL),
+            )
+
+        gone = affected.join(wide_new.select(ppk), ppk, "left_anti")
+        if wlayout is None:
+            delta = upserts.unionByName(_wide_tomb(gone))
+        else:
+            # stored router values of the affected rows (pre-epoch snapshot,
+            # PK-bloom-pruned read): delete-tombstones must route to the old
+            # bucket, and a row whose router value CHANGED leaves a
+            # relocation tombstone there (same protocol as FK-clustered
+            # children above)
+            stored_wide = self._pin(
+                self._pruned_read(self.wide, affected, ppk)
+                .join(affected, ppk, "left_semi")
+                .select(F.col(ppk), F.col(wlayout).alias("_w_old"))
+            )
+            tombstones = _wide_tomb(
+                gone.join(stored_wide, ppk), old_router=F.col("_w_old")
+            )
+            moved = _wide_tomb(
+                wide_new.select(F.col(ppk), F.col(wlayout).alias("_w_new"))
+                .join(stored_wide, ppk)
+                .filter(~F.col("_w_old").eqNullSafe(F.col("_w_new"))),
+                old_router=F.col("_w_old"),
+            )
+            delta = upserts.unionByName(tombstones).unionByName(moved)
         delta = (
-            upserts.unionByName(tombstones)
+            delta
             .withColumn("_bucket", self.wide.bucket_expr())
             .repartition(self.num_buckets, F.col("_bucket"))
         )
