@@ -91,19 +91,29 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     order statistic — deterministic across engines, partitionings and
     cluster sizes, which HLL registers are not.
 
-    Formulated as rank-filter (row_number ≤ k) + tiny aggregate: the rank
-    pass shuffles once on the sketch key and keeps O(1) memory per row;
-    the survivors (k rows per group) aggregate for free.  At 100 TB with
-    few groups one would swap the window for a partial min-k combiner
-    (aggregate k-smallest per partition, merge sorted lists), the same
-    order statistic with map-side reduction — the output contract is
-    unchanged."""
+    Two-stage partial min-k (the map-side combiner the r1/r2 formulation
+    only documented): an Arrow-batched narrow pass keeps the k smallest
+    hashes per (lang, arrow-batch) — no exchange, vectorized pandas — so
+    only O(k × batches) survivor rows ever shuffle; the global min-k is a
+    window + aggregate over that tiny set.  min-k of a union = min-k of
+    the per-part min-k's, so the result is exact and independent of the
+    batching.  The previous single-window version shuffled EVERY row into
+    one task per language — the scan was parallel but the rank was not;
+    this one is a full-row-shuffle-free plan."""
     doc = load(spark, sf_dir, "documents")
     h = doc.select(
         "lang", F.md5(F.concat(F.lit("kmv:"), F.col("doc_id").cast("string"))).alias("h")
     )
+
+    def partial_min_k(batches):
+        for pdf in batches:
+            yield pdf.sort_values("h").groupby("lang", sort=False).head(KMV_K)[
+                ["lang", "h"]
+            ]
+
+    survivors = h.mapInPandas(partial_min_k, schema="lang string, h string")
     w = Window.partitionBy("lang").orderBy("h")
-    r = h.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
+    r = survivors.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KMV_K)
     return r.groupBy("lang").agg(
         F.lit(KMV_K).cast("long").alias("k"),
         F.max("h").alias("kth_hash"),

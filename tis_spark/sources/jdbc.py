@@ -16,10 +16,11 @@ reference's dump-node semantics.
 
 Plan construction (``build_shard_plans``) is separated from execution
 (``read_shards``) so the partitioning and predicate generation are unit-
-testable: this sandbox ships no JDBC driver jar, so the actual
-``spark.read.jdbc`` calls cannot connect here (documented limitation —
-the call shape is the standard public API and the plan layer is fully
-tested).
+testable in isolation; live end-to-end reads are ALSO tested in-sandbox
+against embedded Apache Derby databases (the Derby jars ship inside
+Spark's own jar directory) — multi-shard union, range-partitioned reads,
+extraSql pre-joins and filter pushdown all run against a real JDBC
+endpoint (tests/test_jdbc_live.py).
 """
 
 from __future__ import annotations
