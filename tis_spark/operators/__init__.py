@@ -29,15 +29,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-from tis_spark.operators import analytics, cdcfold, datax_sync, indexing, mlops, multimodal, quality, relational, temporal, traindata, widerow  # noqa: E402,F401  (registration side effects)
+from tis_spark.operators import analytics, cdcfold, datax_sync, indexing, mlops, multimodal, quality, relational, starfold, temporal, traindata, widerow  # noqa: E402,F401  (registration side effects)
 
 # The driver's correctness gate caps at 50 queries and cuts in REGISTRY
 # insertion order, so the flagship/stateful/never-yet-gated operators are
 # pinned first; queries already green in earlier rounds (the fn_* scalar
 # micro-suite, simple window/filter shapes) register after the cut.
 _PRIORITY = [
-    # flagship engine paths (stateful replay + hash-checked engine fold)
+    # flagship engine paths (stateful replay + hash-checked engine folds)
     "cdc_engine_fold_events",
+    "wide_row_engine_fold",
     "wide_row_incremental",
     "wide_row_totalpay_shape",
     "fk_chain_routing",
