@@ -227,6 +227,49 @@ def test_wide_router_layout_and_relocation(ledger, spark):
     assert pipe2.process_epoch(ev, 0).get("skipped")
 
 
+def test_crash_between_source_and_wide_commit(spark, tmp_path_factory):
+    """The exactly-once crash window the pipeline docstring claims: source
+    commits landed, the wide commit did NOT (sink failure).  The epoch is
+    not fenced (no wide epoch_id), so a fresh pipeline re-runs it; the
+    re-applied source events compare equal to the stored versions and drop
+    as dirty (V3 LWW), so nothing double-applies and the final wide table
+    still matches the oracle."""
+    from tis_spark.fixtures.star import (
+        gen_star_changes,
+        initial_tables,
+        initial_tables_spark,
+        totalpay_spec,
+    )
+    from tis_spark.wide.totalpay import expected_wide, totalpay_wide
+
+    root = str(tmp_path_factory.mktemp("crashwin"))
+    pipe = WideRowPipeline(spark, root, totalpay_spec(), totalpay_wide)
+    pipe.full_build(initial_tables_spark(spark, 30))
+    gen = gen_star_changes(spark, 80, 30, seed=13, epoch_size=80)
+
+    def boom(*a, **k):
+        raise OSError("simulated sink failure before the wide publish")
+
+    orig = pipe.wide.commit
+    pipe.wide.commit = boom
+    with pytest.raises(OSError):
+        pipe.process_epoch(gen, 0)
+    pipe.wide.commit = orig
+    assert pipe.wide.last_epoch_id() is None  # crash window confirmed
+
+    pipe2 = WideRowPipeline(spark, root, totalpay_spec(), totalpay_wide)
+    out = pipe2.process_epoch(gen, 0)  # redelivery of the SAME epoch
+    assert not out.get("skipped")
+    state = replay_star_oracle(totalpay_spec(), initial_tables(30), gen.collect())
+    exp = expected_wide(state)
+    got = (
+        pipe2.final_wide().toPandas().sort_values("totalpay_id").reset_index(drop=True)
+    )
+    assert list(got["totalpay_id"]) == list(exp["totalpay_id"])
+    assert list(got["kindpay"]) == list(exp["kindpay"])
+    assert [int(v) for v in got["n_pay"]] == [int(v) for v in exp["n_pay"]]
+
+
 def test_repointed_transfer_rederives_all_three_parents(ledger):
     pipe, state = ledger
     exp = expected_ledger(state).set_index("id")

@@ -163,17 +163,44 @@ N_TILES = 10
 )
 def length_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length deciles (the distribution audit behind
-    length-filter thresholds): ntile(10) over (n_chars, doc_id) —
-    the doc_id tie-break makes tile assignment a total order, identical
-    in both engines.
+    length-filter thresholds), EXACTLY equal to
+    ``ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)`` but
+    without the one-window-task-per-language plan the r2 version shipped
+    (its acknowledged 100-TB weakness):
 
-    One shuffle on lang.  Caveat at 100 TB: an exact global ntile puts
-    each language through one window task; for the audit use-case sample
-    first or switch to approx_percentile boundaries — this operator keeps
-    the exact form because its contract is the exact decile table."""
-    doc = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    r = doc.select("lang", "n_chars", F.ntile(N_TILES).over(w).alias("decile"))
+    1. count per (lang, n_chars) — map-side-combined aggregate;
+    2. prefix sums over the DISTINCT length values (a window over
+       thousands of rows, not billions);
+    3. per-row tie index via a window partitioned by (lang, n_chars) —
+       fine partitions, fully parallel;
+    4. global rank = prefix + tie index; the tile is ntile's closed form
+       (first n%k tiles get one extra row).
+
+    No stage puts a whole language through one task; the heaviest
+    shuffle is the per-(lang, length) tie window."""
+    doc = load(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    cnt = doc.groupBy("lang", "n_chars").agg(F.count("*").alias("_c"))
+    wv = Window.partitionBy("lang").orderBy("n_chars")
+    pref = cnt.select(
+        "lang",
+        "n_chars",
+        (F.sum("_c").over(wv) - F.col("_c")).alias("_prefix"),
+        F.sum("_c").over(Window.partitionBy("lang")).alias("_n"),
+    )
+    wtie = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    ranked = (
+        doc.withColumn("_i", F.row_number().over(wtie))
+        .join(pref, ["lang", "n_chars"])
+        .withColumn("_rank", F.col("_prefix") + F.col("_i"))
+    )
+    base = F.floor(F.col("_n") / N_TILES)
+    rem = F.col("_n") % N_TILES
+    head = (base + F.lit(1)) * rem  # rows covered by the size-(base+1) tiles
+    decile = F.when(
+        F.col("_rank") <= head,
+        F.floor((F.col("_rank") - 1) / (base + 1)) + 1,
+    ).otherwise(rem + F.floor((F.col("_rank") - head - 1) / base) + 1)
+    r = ranked.select("lang", "n_chars", decile.cast("int").alias("decile"))
     return r.groupBy("lang", "decile").agg(
         F.count("*").alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
