@@ -206,3 +206,42 @@ def length_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "text_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.org or call 5550' || CAST(n_chars AS VARCHAR) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass (a standard pre-training curation stage): email
+    addresses and long digit runs replaced with typed placeholders.  Pure
+    Catalyst regexp_replace — narrow map, zero shuffle, whole-stage
+    codegen; the synthetic corpus carries no PII, so the fixture plants a
+    deterministic email+phone per row and the oracle scrubs the same
+    construction."""
+    doc = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or call 5550"),
+        F.col("n_chars").cast("string"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(raw, r"[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+        r"[0-9]{4,}",
+        "<NUM>",
+    )
+    return doc.select("doc_id", scrub.alias("scrubbed"))

@@ -633,3 +633,79 @@ def fn_coalesce_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("event_type", F.lit("")), F.lit("NONE")).alias("type_d"),
         F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value_d"),
     )
+
+
+@query(
+    "intersect_except_segments",
+    """
+    SELECT c_mktsegment, 'intersect' AS setop FROM (
+      SELECT c_mktsegment FROM customer WHERE c_nationkey < 10
+      INTERSECT
+      SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT c_mktsegment, 'except' AS setop FROM (
+      SELECT c_mktsegment FROM customer WHERE c_nationkey < 10
+      EXCEPT
+      SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+    )
+    """,
+)
+def intersect_except_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (engine surplus: the reference's
+    node types stop at UNION_SQL, NodeType.java:25 — intersect/except are
+    absent from its SQL surface).  Catalyst plans both as aggregations
+    over a tagged union — one shuffle each, no join."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_nationkey") < 10).select("c_mktsegment")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    return (
+        a.intersect(b).withColumn("setop", F.lit("intersect"))
+        .unionByName(a.subtract(b).withColumn("setop", F.lit("except")))
+    )
+
+
+@query(
+    "fn_underline_naming",
+    """
+    SELECT DISTINCT c_mktsegment,
+           'order' || upper(substr(lower(c_mktsegment), 1, 1))
+                   || substr(lower(c_mktsegment), 2) AS camel_name,
+           lower(regexp_replace(
+             'order' || upper(substr(lower(c_mktsegment), 1, 1))
+                     || substr(lower(c_mktsegment), 2),
+             '([A-Z])', '_\\1', 'g')) AS underline_name
+    FROM customer
+    """,
+)
+def fn_underline_naming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 camel/underline naming conversion (UnderlineUtils.addUnderline /
+    removeUnderline, BasicPojoConsumer.java:512-523) as actual column
+    functions instead of a code convention: build a camelCase identifier,
+    then the underline form via regexp.  The reverse direction
+    (removeUnderline) is pinned by tests/test_round3.py round-trip."""
+    cust = load(spark, sf_dir, "customer")
+    low = F.lower(F.col("c_mktsegment"))
+    camel = F.concat(
+        F.lit("order"),
+        F.upper(F.substring(low, 1, 1)),
+        low.substr(F.lit(2), F.length(low)),
+    )
+    under = F.lower(F.regexp_replace(camel, "([A-Z])", "_$1"))
+    return cust.select(
+        "c_mktsegment", camel.alias("camel_name"), under.alias("underline_name")
+    ).distinct()
+
+
+def remove_underline(col):
+    """underline_name -> camelName (UnderlineUtils.removeUnderline parity):
+    split on '_', capitalize every part but the first, concatenate.  Pure
+    Catalyst (transform + lambda), no UDF."""
+    parts = F.split(col, "_")
+    cap = F.transform(
+        parts,
+        lambda x, i: F.when(i == 0, x).otherwise(
+            F.concat(F.upper(x.substr(F.lit(1), F.lit(1))), x.substr(F.lit(2), F.length(x)))
+        ),
+    )
+    return F.array_join(cap, "")
