@@ -160,5 +160,5 @@ def test_ddl_redelivery_is_idempotent(spark, tmp_path_factory):
     pipe2 = WideRowPipeline(spark, root, totalpay_spec(), totalpay_wide)
     out = pipe2.process_epoch(e0, 0)
     assert out.get("skipped")
-    pipe2._apply_source_ddls(e0, 0)
+    pipe2._apply_source_ddls([("specialfee", 1, "ADD COLUMN note string")], 0)
     assert pipe2.sources["specialfee"].current_snapshot().schema_version == sv

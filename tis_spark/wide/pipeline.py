@@ -344,33 +344,26 @@ class WideRowPipeline:
         ]
         return ev.select("seq", "op", F.col("pk"), *cols)
 
-    def _apply_source_ddls(self, events: DataFrame, epoch_id: int) -> DataFrame:
-        """Apply the batch's DDL events to their source tables in seq
-        order, keep spec metadata in lockstep with the lake schemas, and
-        return the row-event remainder.  Idempotent (apply_ddl no-ops on
-        an already-applied change), so crash-replay of an epoch whose
-        evolve commit landed but whose wide commit didn't is safe."""
-        if "ddl" not in events.columns:
-            return events
+    def _apply_source_ddls(self, ddls: list[tuple], epoch_id: int) -> None:
+        """Apply the batch's (already collected) DDL events to their
+        source tables in seq order and keep spec metadata in lockstep with
+        the lake schemas.  Idempotent (apply_ddl no-ops on an already-
+        applied change), so crash-replay of an epoch whose evolve commit
+        landed but whose wide commit didn't is safe."""
         from tis_spark.cdc.registry import apply_ddl, parse_ddl
 
-        ddls = events.filter(F.col("op") == "DDL").select("seq", "table", "ddl").collect()
-        if not ddls:
-            return events
-        for r in sorted(ddls, key=lambda r: r["seq"]):
-            name = r["table"]
+        for name, seq, ddl in sorted(ddls, key=lambda x: x[1]):
             assert name in self.sources, f"DDL for unknown source table {name}"
             evolved = apply_ddl(
                 self.sources[name],
-                r["ddl"],
-                summary={"epoch_ddl": epoch_id, "at_seq": r["seq"]},
+                ddl,
+                summary={"epoch_ddl": epoch_id, "at_seq": seq},
                 expected_snapshot_id=self._views[name],
             )
             if evolved is not None:
                 self._views[name] = evolved.snapshot_id
-            _, col, dtype = parse_ddl(r["ddl"])
+            _, col, dtype = parse_ddl(ddl)
             self.spec.tables[name].columns[col] = ER_TYPE_NAMES[dtype.typeName()]
-        return events.filter(F.col("op") != "DDL")
 
     # ------------------------------------------------------------- epoch
 
@@ -398,13 +391,31 @@ class WideRowPipeline:
         # these as numbered console-DB schema snapshots
         # (SchemaAction.java:330,967-1029); here each is an evolve commit
         # on the table's own lake, fenced by this writer's view (C8).
-        events = self._apply_source_ddls(events, epoch_id)
-
-        # one light pass for per-table lineage counters (C6 parity)
-        table_counts = {
-            r["table"]: r["count"]
-            for r in events.groupBy("table").count().collect()
-        }
+        # DDL detection shares the lineage aggregate below — ONE action
+        # over the batch, not two (per-epoch fixed cost bounds micro-batch
+        # throughput, the 688-jobs lesson in _pin).
+        has_ddl = "ddl" in events.columns
+        ddl_struct = (
+            F.when(F.col("op") == "DDL", F.struct("seq", "ddl"))
+            if has_ddl
+            else F.lit(None).cast("struct<seq:long,ddl:string>")
+        )
+        meta_rows = (
+            events.groupBy("table")
+            .agg(
+                F.count(F.when(F.col("op") != "DDL", F.lit(1))).alias("count"),
+                F.collect_list(ddl_struct).alias("ddls"),
+            )
+            .collect()
+        )
+        # per-table lineage counters (C6 parity), row events only
+        table_counts = {r["table"]: r["count"] for r in meta_rows if r["count"]}
+        ddls = [
+            (r["table"], d["seq"], d["ddl"]) for r in meta_rows for d in r["ddls"]
+        ]
+        if ddls:
+            self._apply_source_ddls(ddls, epoch_id)
+            events = events.filter(F.col("op") != "DDL")
 
         route_parts: list[DataFrame] = []  # DataFrames of affected chain keys
         primary_meta = self.spec.tables[self.spec.primary]
