@@ -85,3 +85,40 @@ def test_lake_scalar_read_prunes_payload_columns(spark, tmp_table_dir):
     schemas = [l for l in p.splitlines() if "ReadSchema" in l]
     assert schemas, p
     assert all("html" not in l and "text" not in l for l in schemas), p
+
+
+def test_decile_rank_has_no_global_window(spark):
+    """length_decile_stats (r3 rewrite): no window partitioned by lang
+    alone over the raw rows — the heaviest window partitions by
+    (lang, n_chars); the lang-only windows run over the distinct-length
+    aggregate, so no full language funnels through one task."""
+    df = QUERIES["length_decile_stats"](spark, SF_DIR)
+    jplan = df._jdf.queryExecution().executedPlan().toString()
+    # the per-row rank is row_number over (lang, n_chars) — fine partitions
+    assert "row_number()" in jplan
+    row_windows = [
+        seg for seg in jplan.split("Window")[1:] if "row_number()" in seg.split("\n")[0]
+    ]
+    assert row_windows and all(
+        "lang" in seg.split("\n")[0] and "n_chars" in seg.split("\n")[0]
+        for seg in row_windows
+    ), jplan
+    # lang-only windows exist but only above the distinct-length aggregate
+    assert "HashAggregate" in jplan
+
+
+def test_kmv_shuffles_only_survivors(spark):
+    """kmv_distinct_sketch (r3 rewrite): the raw-row stage is a narrow
+    Arrow map (no Exchange below it); the only exchanges sit above the
+    k-per-batch survivor set."""
+    df = QUERIES["kmv_distinct_sketch"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p, p
+    # the scan feeds MapInPandas directly — no Exchange between them
+    below = p.split("MapInPandas")[-1]
+    assert "Exchange" not in below, below
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    p = plan(spark, "text_pii_scrub")
+    assert "Exchange" not in p, f"text_pii_scrub gained a shuffle:\n{p}"
