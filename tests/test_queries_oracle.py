@@ -81,6 +81,21 @@ def test_query_vs_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_oracle_type_sweep(duck, name):
+    """No oracle may emit HUGEINT/UHUGEINT/DECIMAL columns: DuckDB widens
+    sum(INTEGER/BIGINT) to HUGEINT, whose driver-side value hash differs
+    from Spark's bigint even when every value is equal (cost a red gate
+    cell in rounds 2 AND 3 — CAST(sum(...) AS BIGINT) in the oracle SQL)."""
+    rel = duck.sql(ALL_ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL"))
+    ]
+    assert not bad, f"{name}: uncast wide-integer/decimal oracle columns {bad}"
+
+
 def test_rows_only_queries(spark):
     for name in set(ALL_QUERIES) - set(ALL_ORACLES):
         df = ALL_QUERIES[name](spark, SF_DIR)

@@ -171,8 +171,8 @@ _GAP_US = SESSION_GAP_S * 1_000_000
     ),
     s AS (
       SELECT user_id, ts_us,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_idx
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM m
     )
     SELECT user_id, session_idx, count(*) AS n_events,

@@ -86,7 +86,8 @@ PACK_SHARDS = 32  # parallel pack groups per lang (window partitions)
                / {PACK_TOKEN_BUDGET}) AS BIGINT) AS bin
       FROM sized
     )
-    SELECT lang, shard, bin, count(*) AS n_docs, sum(n_tok) AS sum_tokens
+    SELECT lang, shard, bin, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
     FROM packed GROUP BY lang, shard, bin
     """,
 )

@@ -32,6 +32,8 @@ from pyspark.sql import types as T
 
 _TYPE_MAP = {
     "string": T.StringType(),
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
     "int": T.IntegerType(),
     "bigint": T.LongType(),
     "float": T.FloatType(),
@@ -45,6 +47,12 @@ _TYPE_MAP = {
 #: Spark DataType.typeName() -> ER column type string (used when a DDL
 #: event evolves a source table and the spec must follow the lake schema)
 ER_TYPE_NAMES = {
+    # byte/short: parse_ddl (cdc/registry.py) accepts tinyint/smallint
+    # DDLs — without these entries a stream-delivered ADD COLUMN x SMALLINT
+    # would commit the lake evolve, then KeyError before the spec update,
+    # wedging the epoch with lake schema and ERSpec out of sync
+    "byte": "tinyint",
+    "short": "smallint",
     "integer": "int",
     "long": "bigint",
     "float": "float",

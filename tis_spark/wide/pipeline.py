@@ -96,10 +96,23 @@ class WideRowPipeline:
         self.spark = spark
         self.root = root
         self.spec = spec
+        if isinstance(wide_fn, str):
+            # SQL-authored JOINER node (NodeType.JOINER_SQL,
+            # SqlTaskNodeMeta.java:247-276): the user hands us the node SQL.
+            from tis_spark.wide.sqlnode import SqlWideNode
+
+            wide_fn = SqlWideNode(wide_fn)
         self.wide_fn = wide_fn
         self.delete_policy = delete_policy
         self.num_buckets = num_buckets
         self.compact_threshold = compact_threshold
+        if checkpoint_intermediates not in (True, False, "local", "reliable"):
+            # a typo ('Reliable', 'dfs') must not silently degrade to
+            # localCheckpoint and lose the durability the caller asked for
+            raise ValueError(
+                f"checkpoint_intermediates must be True/False/'local'/'reliable', "
+                f"got {checkpoint_intermediates!r}"
+            )
         self.checkpoint_intermediates = checkpoint_intermediates
         self.lookup_keys_max = lookup_keys_max
         self.base_file_rows = base_file_rows

@@ -118,9 +118,65 @@ def totalpay_wide(src: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+# The same topology as user-authored node SQL (NodeType.JOINER_SQL — what a
+# TIS dataflow actually hands the engine; cf. the reference's rewritten node
+# SQL fixture tis-sql-parser/src/test/resources/.../sqlrewrite.txt and
+# SqlTaskNodeMeta.getRewriteSql, SqlTaskNodeMeta.java:247-276).  Passing this
+# string as ``wide_fn`` must land on the identical wide table as
+# ``totalpay_wide`` above — pinned by tests/test_round4.py.
+TOTALPAY_WIDE_SQL = """
+WITH pay_agg AS (
+  SELECT totalpay_id,
+         concat_ws(';', array_sort(collect_list(
+             concat_ws('_', kindpay_id, CAST(type AS STRING))))) AS kindpay,
+         round(sum(fee), 2) AS pay_fee,
+         count(*) AS n_pay,
+         max(CASE WHEN type = 103 THEN 1 ELSE 0 END) AS has_103,
+         max(modify_time) AS _pay_mt
+  FROM payinfo GROUP BY totalpay_id
+),
+pdt_agg AS (
+  SELECT p.totalpay_id,
+         round(sum(d.amount), 2) AS detail_amount,
+         max(d.modify_time) AS _pdt_mt
+  FROM paydetail d JOIN payinfo p ON d.payinfo_id = p.id
+  GROUP BY p.totalpay_id
+),
+sf_agg AS (
+  SELECT totalpay_id, round(sum(fee), 2) AS special_fee,
+         max(modify_time) AS _sf_mt
+  FROM specialfee GROUP BY totalpay_id
+)
+SELECT /*+ BROADCAST(card), BROADCAST(cust) */
+       tp.totalpay_id, tp.entity_id, tp.card_id, tp.recieve_amount, tp.is_valid,
+       coalesce(pa.kindpay, '') AS kindpay,
+       coalesce(pa.pay_fee, 0.0d) AS pay_fee,
+       coalesce(pa.n_pay, 0L) AS n_pay,
+       coalesce(pd.detail_amount, 0.0d) AS detail_amount,
+       coalesce(sf.special_fee, 0.0d) AS special_fee,
+       od.open_time,
+       card.customer_id,
+       cust.name AS customer_name,
+       CASE WHEN coalesce(card.code RLIKE '^E_', false)
+              OR coalesce(pa.has_103, 0) = 1
+            THEN 1 ELSE 0 END AS is_enterprise_card,
+       greatest(tp.modify_time, coalesce(pa._pay_mt, 0L), coalesce(pd._pdt_mt, 0L),
+                coalesce(sf._sf_mt, 0L), coalesce(od.modify_time, 0L)) AS version
+FROM totalpayinfo tp
+LEFT JOIN pay_agg pa ON tp.totalpay_id = pa.totalpay_id
+LEFT JOIN pdt_agg pd ON tp.totalpay_id = pd.totalpay_id
+LEFT JOIN sf_agg sf ON tp.totalpay_id = sf.totalpay_id
+LEFT JOIN orderdetail od ON tp.totalpay_id = od.totalpay_id
+LEFT JOIN card ON tp.card_id = card.id
+LEFT JOIN customer cust ON card.customer_id = cust.id
+"""
+
+
 # ---------------------------------------------------------------- oracle
 
 _CASTS = {
+    "tinyint": int,
+    "smallint": int,
     "int": int,
     "bigint": int,
     "float": float,
