@@ -32,28 +32,36 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from tis_spark.operators import analytics, cdcfold, datax_sync, indexing, mlops, multimodal, quality, relational, sqlnode, starfold, temporal, traindata, widerow  # noqa: E402,F401  (registration side effects)
 
 # The driver's correctness gate caps at 50 queries and cuts in REGISTRY
-# insertion order, so the flagship/stateful/never-yet-gated operators are
-# pinned first; queries already green in earlier rounds (the fn_* scalar
-# micro-suite, simple window/filter shapes) register after the cut.
+# insertion order.  Every name in _PRIORITY has a DuckDB oracle, so all 50
+# gate rows are hash-checkable; the two no-oracle stateful flagships
+# (cdc_replay_final_state — appended by __spark_entry__.queries() — and
+# wide_row_incremental) register PAST the cap: their hash-checked
+# engine-fold twins (cdc_engine_fold_events / wide_row_engine_fold) already
+# prove the same engines on a driver row, and every past-cap query still
+# runs against its oracle (or rows-only check) in pytest on every suite
+# execution (tests/test_queries_oracle.py).
 _PRIORITY = [
-    # flagship engine paths (stateful replay + hash-checked engine folds)
+    # flagship engine paths (hash-checked engine folds + star shapes)
     "cdc_engine_fold_events",
     "wide_row_engine_fold",
-    "wide_row_incremental",
     "wide_row_totalpay_shape",
+    "wide_sql_node",
     "fk_chain_routing",
-    # temporal joins (never gated before r3)
+    # temporal joins
     "asof_join_prior_view",
     "range_join_pair_counts",
     "sessionize_events",
-    # training-data curation set (never gated before r3)
+    # training-data curation set
     "sample_stratified",
     "pack_sequences",
     "decontaminate_ngram_overlap",
     "tfidf_top_terms",
     "vocab_topk",
-    # r2 red cells, now BIGINT-cast oracles
+    # grouping analytics (rollup/cube/grouping-sets)
     "rollup_returnflag_status",
+    "cube_returnflag_status",
+    "grouping_sets_flag_and_status",
+    # sync + index sinks, sketches
     "datax_sync_roundtrip",
     "index_search_topk",
     "kmv_distinct_sketch",
@@ -73,34 +81,39 @@ _PRIORITY = [
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     "text_repetition_ratio",
     "gopher_quality_filter",
     "length_decile_stats",
+    "text_pii_scrub",
     "multimodal_binary_meta",
-    "multimodal_decode_stub",
     "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    # relational core (TPC-H shapes, joins, aggregations)
+    # relational core (TPC-H shapes, joins, aggregations, set ops)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "left_join_extra_on",
-    "semi_anti_join",
-    "union_all_agg",
     "two_level_reaggregation",
     "count_distinct_by_segment",
     "latest_per_key",
     "topn_per_group",
+    "intersect_except_segments",
+    # consolidated scalar-function suites (the FunctionUtils registry)
+    "fn_string_suite",
+    "fn_numeric_temporal_suite",
 ]
+
+#: the driver prepends nothing — __spark_entry__.queries() APPENDS the
+#: no-oracle flagship after REGISTRY, so the gate is exactly _PRIORITY
+GATE_CAP = 50
+assert len(_PRIORITY) == GATE_CAP, len(_PRIORITY)
 
 
 def _reorder() -> None:
     rest = dict(REGISTRY)
     REGISTRY.clear()
+    missing = [n for n in _PRIORITY if n not in rest]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
     for n in _PRIORITY:
-        if n in rest:
-            REGISTRY[n] = rest.pop(n)
+        REGISTRY[n] = rest.pop(n)
     REGISTRY.update(rest)
 
 
