@@ -122,3 +122,45 @@ def test_kmv_shuffles_only_survivors(spark):
 def test_pii_scrub_is_shuffle_free(spark):
     p = plan(spark, "text_pii_scrub")
     assert "Exchange" not in p, f"text_pii_scrub gained a shuffle:\n{p}"
+
+
+def test_star_epoch_reads_batch_once(spark, tmp_path):
+    """process_epoch persists the micro-batch: the events source
+    materializes exactly once per epoch — not once for the lineage
+    aggregate plus once per monitored table ((T+1)x IO on remote storage,
+    and a non-replayable MQ source doesn't guarantee a re-read at all).
+    Mirror of the CDC micro-batch persist (cdc/pipeline.py)."""
+    from tis_spark.fixtures.ledger import initial_ledger, ledger_spec, ledger_wide
+    from tis_spark.fixtures.star import STAR_CHANGE_SCHEMA
+    from tis_spark.wide import WideRowPipeline
+
+    spec = ledger_spec()
+    pipe = WideRowPipeline(
+        spark, str(tmp_path / "star"), spec, ledger_wide, num_buckets=4
+    )
+    initial = initial_ledger()
+    pipe.full_build(
+        {n: spark.createDataFrame(pdf, schema=spec.tables[n].schema)
+         for n, pdf in initial.items()}
+    )
+    base = {"ddl": None, "before": None, "after": None, "epoch_hint": 0}
+    rows = [
+        {**base, "seq": 1, "op": "U", "table": "account", "pk": "a001",
+         "after": {"id": "a001", "entity_id": "ent1", "owner": "ownX",
+                   "modify_time": "5001"}},
+        {**base, "seq": 2, "op": "U", "table": "transfer", "pk": "t001",
+         "after": {"id": "t001", "src_id": "a001", "dst_id": "a002",
+                   "amount": "99", "modify_time": "5002"}},
+    ]
+    raw = spark.createDataFrame(rows, schema=STAR_CHANGE_SCHEMA)
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = raw.mapInPandas(_count, schema=STAR_CHANGE_SCHEMA)
+    stats = pipe.process_epoch(counted, epoch_id=1)
+    assert stats.get("n_affected", 0) > 0
+    assert acc.value == len(rows), f"batch read {acc.value / len(rows):.1f}x"

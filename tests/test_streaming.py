@@ -110,6 +110,25 @@ def test_streaming_checkpoint_loss_refeed(spark, stream_source, tmp_table_dir):
     assert len(s3.ingest.table.history()) == n_snaps
 
 
+FIXTURE_WIRE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "kafka_wire")
+
+
+def test_kafka_wire_fixture_end_to_end(spark, tmp_table_dir):
+    """Recorded Debezium-envelope wire capture (tests/fixtures/kafka_wire,
+    re-recordable via tests/fixtures/record_kafka_wire.py — the standard
+    2000-event / seed=99 / epoch=500 verify stream incl. its 4 DDLs)
+    replayed through the identical parse->ingest chain the live-broker
+    branch uses.  Pins the wire format (binary base64 envelope, ISO
+    timestamps, PK-keyed records, offset ordering) end-to-end without a
+    broker (S5; reference MQListenerFactory.java:32-66)."""
+    cfg = CdcConfig(fold_parallelism=8)
+    s = StreamingCdc(spark, FIXTURE_WIRE, tmp_table_dir, cfg, wire_format="kafka")
+    assert s.run_available(max_files_per_trigger=2)
+    s.drain()
+    rows = gen_page_changes(spark, 2000, seed=99, epoch_size=500).collect()
+    _assert_matches_oracle(s, rows, cfg)
+
+
 def test_parse_kafka_events_roundtrip(spark):
     """Kafka-wire JSON envelope (binary base64, ISO timestamps) parses
     back to the exact CHANGE_SCHEMA rows that were encoded."""

@@ -18,6 +18,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tis_spark.cdc.pipeline import CdcConfig, CdcIngest
 from tis_spark.fixtures.gen import CHANGE_SCHEMA
@@ -63,6 +64,41 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
     ).select("e.*")
 
 
+#: The columns Spark's kafka source emits (KafkaRecordToRowConverter) —
+#: a recorded wire capture in this shape replays through the exact
+#: transform chain the live broker branch uses.
+KAFKA_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def encode_kafka_wire(changes: DataFrame, topic: str = "pages-binlog") -> DataFrame:
+    """CHANGE_SCHEMA events -> Kafka wire rows: Debezium-style JSON
+    envelope in ``value`` (binary base64, ISO timestamps — what
+    ``to_json`` emits and ``parse_kafka_events`` decodes), record key =
+    the source row key (Debezium keys messages by PK so one row's
+    changes stay in one partition — KeyedPkVal in the reference's
+    listener, BasicRMListener.java), offset = delivery order."""
+    key = F.coalesce(F.col("after.url"), F.col("before.url"), F.col("table"))
+    return changes.select(
+        key.cast("binary").alias("key"),
+        F.to_json(F.struct(*changes.columns)).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        (F.abs(F.hash(key)) % 16).cast("int").alias("partition"),
+        F.col("delivery_key").alias("offset"),
+        F.col("ts_ms").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+
+
 class StreamingCdc:
     """``kafka=None`` (default) tails a file-source directory standing in
     for the MQ/binlog (no broker ships in this sandbox).  Passing
@@ -71,8 +107,11 @@ class StreamingCdc:
     ``parse_kafka_events`` transform (reference S5 MQListenerFactory; the
     rows-per-trigger knob is C1 rate-limit parity with
     BasicRMListener.java:171-173).  The kafka branch needs the
-    spark-sql-kafka connector jar on the cluster; only the parse transform
-    is testable here."""
+    spark-sql-kafka connector jar on the cluster; ``wire_format="kafka"``
+    replays a *recorded* wire capture (parquet of KAFKA_WIRE_SCHEMA rows,
+    e.g. tests/fixtures/kafka_wire.parquet) from ``source_dir`` through
+    the identical parse->ingest chain, pinning the envelope end-to-end
+    without a broker."""
 
     def __init__(
         self,
@@ -82,14 +121,25 @@ class StreamingCdc:
         cfg: CdcConfig | None = None,
         checkpoint_dir: str | None = None,
         kafka: dict | None = None,
+        wire_format: str | None = None,
     ):
+        if wire_format not in (None, "kafka"):
+            raise ValueError(f"wire_format must be None or 'kafka', got {wire_format!r}")
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir or os.path.join(table_path, "_checkpoint")
         self.kafka = kafka
+        self.wire_format = wire_format
         self.ingest = CdcIngest(spark, table_path, cfg)
 
     def _make_stream(self, max_files_per_trigger: int) -> DataFrame:
+        if self.wire_format == "kafka":
+            raw = (
+                self.spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .parquet(self.source_dir)
+            )
+            return parse_kafka_events(raw)
         if self.kafka is not None:
             raw = (
                 self.spark.readStream.format("kafka")

@@ -385,6 +385,8 @@ class WideRowPipeline:
         last = self.wide.last_epoch_id()
         if last is not None and epoch_id <= last:
             return {"epoch_id": epoch_id, "skipped": True}
+        from pyspark import StorageLevel
+
         from tis_spark.lake.table import CommitConflict
 
         cur = self.wide.current_snapshot().snapshot_id
@@ -394,6 +396,23 @@ class WideRowPipeline:
                 f"(view {self._views['wide']}): concurrent writer detected"
             )
 
+        # The epoch reads the batch once for the lineage/DDL aggregate and
+        # then once per monitored table in _merge_source — (T+1) source
+        # scans per epoch without a cache (T x IO on remote storage, and a
+        # non-replayable MQ source doesn't even guarantee a re-read).
+        # Persist keeps lineage (safe under block loss, unlike
+        # localCheckpoint) and spills batch-sized data at worst — the
+        # mirror of cdc/pipeline.py's micro-batch persist (A/B in BENCH.md).
+        events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._run_epoch(events, epoch_id)
+        finally:
+            # every exit path (incl. CommitConflict) releases the cached
+            # batch — a supervisor retrying epochs must not accumulate one
+            # batch-sized cached RDD per failure
+            events.unpersist(blocking=False)
+
+    def _run_epoch(self, events: DataFrame, epoch_id: int) -> dict:
         # DDL routing (§1.5, mirror of cdc/pipeline.py's registry path):
         # schema changes on SOURCE tables apply at batch start — legal
         # because the supported evolutions (add column / widen) are
