@@ -103,3 +103,101 @@ def test_checkpoint_mode_validated(spark, tmp_path):
             spark, str(tmp_path / "x"), totalpay_spec(), TOTALPAY_WIDE_SQL,
             checkpoint_intermediates="Reliable",
         )
+
+
+# ---------------------------------------------------------- timeCharacteristic
+
+
+def _ledger_pt_spec():
+    """Ledger spec under ProcessTime: account carries NO event-time version
+    column (version_col=None -> synthetic ingest stamp), transfer keeps its
+    event-time modify_time — the mixed shape the reference's per-table
+    hasSetTimestampVerColumn check allows under a global ProcessTime."""
+    from tis_spark.fixtures.ledger import ledger_spec
+    from tis_spark.wide.er import ERSpec, TableMeta
+
+    ev = ledger_spec()
+    acc = ev.tables["account"]
+    return ERSpec(
+        primary="account",
+        shared_key="entity_id",
+        tables={
+            "account": TableMeta(
+                "account", pk=acc.pk, version_col=None, columns=dict(acc.columns)
+            ),
+            "transfer": ev.tables["transfer"],
+        },
+        relations=ev.relations,
+        time_characteristic="ProcessTime",
+    )
+
+
+def _pt_stream(spark):
+    """Same delivery stream under both characteristics: three updates to
+    account a000 whose payload modify_time DECREASES as delivery advances
+    (seq 1: mt=9999; seq 2: mt=1; epoch 2's seq 3: mt=5)."""
+    base = {"ddl": None, "before": None, "epoch_hint": 0}
+    rows = [
+        {**base, "seq": 1, "op": "U", "table": "account", "pk": "a000",
+         "after": {"id": "a000", "entity_id": "ent0", "owner": "first",
+                   "modify_time": "9999"}},
+        {**base, "seq": 2, "op": "U", "table": "account", "pk": "a000",
+         "after": {"id": "a000", "entity_id": "ent0", "owner": "second",
+                   "modify_time": "1"}},
+        {**base, "seq": 3, "op": "U", "table": "account", "pk": "a000",
+         "after": {"id": "a000", "entity_id": "ent0", "owner": "third",
+                   "modify_time": "5"}},
+    ]
+    return spark.createDataFrame(rows, schema=STAR_CHANGE_SCHEMA)
+
+
+def test_time_characteristic_process_vs_event(spark, tmp_path):
+    """ER timeCharacteristic (TimeCharacteristic.java:22, global default
+    EventTime per ERRules.java:62): under ProcessTime a version-column-less
+    table is LWW-versioned by ARRIVAL (the generated processTimeVer stamp,
+    StreamComponentCodeGenerator.java:202-208) — the last-delivered change
+    wins, across and within epochs, regardless of payload timestamps;
+    under EventTime the same stream resolves by modify_time."""
+    from tis_spark.fixtures.ledger import initial_ledger, ledger_spec, ledger_wide
+
+    initial = initial_ledger(8)
+    finals = {}
+    for label, spec in (("event", ledger_spec()), ("process", _ledger_pt_spec())):
+        pipe = WideRowPipeline(
+            spark, str(tmp_path / label), spec, ledger_wide, num_buckets=4
+        )
+        pipe.full_build(
+            {n: spark.createDataFrame(pdf) for n, pdf in initial.items()}
+        )
+        pipe.replay(_pt_stream(spark), epoch_size=3)  # epochs: seq 1-2 | seq 3
+        finals[label] = {
+            r["id"]: r.asDict() for r in pipe.final_wide().collect()
+        }
+    # EventTime: mt=9999 wins its batch, then mt=5 drops as dirty
+    assert finals["event"]["a000"]["owner"] == "first"
+    # ProcessTime: last-delivered wins the batch (seq 2 beats seq 1's
+    # higher mt), then epoch 2's arrival beats the stored stamp
+    assert finals["process"]["a000"]["owner"] == "third"
+
+
+def test_time_characteristic_spec_roundtrip():
+    from tis_spark.wide.er import ERSpec, PROCESS_TIME_COL, TableMeta
+
+    spec = _ledger_pt_spec()
+    acc = spec.tables["account"]
+    assert acc.process_time and acc.version_col == PROCESS_TIME_COL
+    assert acc.columns[PROCESS_TIME_COL] == "bigint"
+    back = ERSpec.from_json(spec.to_json())
+    assert back.time_characteristic == "ProcessTime"
+    assert back.tables["account"].process_time
+    assert back.tables["account"].version_col == PROCESS_TIME_COL
+    # EventTime (the default) rejects a version-column-less table, the
+    # reference's codegen guard (StreamComponentCodeGenerator.java:202-205)
+    with pytest.raises(ValueError, match="ProcessTime"):
+        ERSpec(
+            primary="t",
+            shared_key="k",
+            tables={"t": TableMeta("t", pk="id", version_col=None,
+                                   columns={"id": "string", "k": "string"})},
+            relations=[],
+        )

@@ -65,13 +65,27 @@ ER_TYPE_NAMES = {
 }
 
 
+#: Synthetic ingest-stamp version column materialized for tables that set
+#: no event-time version column under ProcessTime — the reference's
+#: generated ``("processTime").processTimeVer()`` output column
+#: (StreamComponentCodeGenerator.java:202-208).
+PROCESS_TIME_COL = "process_time"
+
+
 @dataclass
 class TableMeta:
     name: str
     pk: str
-    version_col: str  # LWW column (reference modify_time / timeVersionCol)
+    # LWW column (reference modify_time / timeVersionCol); None is legal
+    # only under ERSpec(time_characteristic="ProcessTime") and resolves to
+    # the synthetic PROCESS_TIME_COL ingest stamp
+    version_col: str | None
     columns: dict[str, str] = field(default_factory=dict)  # name -> type str
     monitor: bool = True  # False == ignoreIncrTrigger (lookup-only dim)
+    # set by ERSpec normalization when version_col was None: the engine
+    # stamps PROCESS_TIME_COL from the event's delivery sequence instead
+    # of reading it from the after-image
+    process_time: bool = False
 
     @property
     def schema(self) -> T.StructType:
@@ -95,9 +109,37 @@ class ERSpec:
     shared_key: str  # router/shard key on the primary (PrimaryTableMeta)
     tables: dict[str, TableMeta]
     relations: list[Relation]
+    # Global time characteristic (reference TimeCharacteristic.java:22,
+    # default EventTime per ERRules.java:62).  EventTime: every table's
+    # version_col is an event-time column carried in the change payload.
+    # ProcessTime: tables may omit the version column (version_col=None);
+    # the engine then versions rows by arrival — the ingest sequence
+    # stamp, so the last-DELIVERED change wins LWW regardless of any
+    # payload timestamp.
+    time_characteristic: str = "EventTime"
 
     def __post_init__(self):
         assert self.primary in self.tables, self.primary
+        assert self.time_characteristic in ("EventTime", "ProcessTime"), (
+            self.time_characteristic
+        )
+        for t in self.tables.values():
+            if t.version_col is None:
+                # mirror of the reference's codegen guard: a table without
+                # a timestampVer column is only legal when the global
+                # characteristic is ProcessTime
+                # (StreamComponentCodeGenerator.java:202-205)
+                if self.time_characteristic != "ProcessTime":
+                    raise ValueError(
+                        f"table {t.name}: either set a version_col or set "
+                        f"time_characteristic='ProcessTime'"
+                    )
+                t.process_time = True
+                t.version_col = PROCESS_TIME_COL
+            if t.process_time:
+                # idempotent (from_json re-runs this): the stamp is a
+                # stored column so later epochs can LWW-compare against it
+                t.columns.setdefault(PROCESS_TIME_COL, "bigint")
         for r in self.relations:
             assert r.parent in self.tables and r.child in self.tables, r
             assert r.cardinality in ("1:1", "1:n"), r
@@ -165,12 +207,14 @@ class ERSpec:
             {
                 "primary": self.primary,
                 "shared_key": self.shared_key,
+                "time_characteristic": self.time_characteristic,
                 "tables": {
                     n: {
                         "pk": t.pk,
                         "version_col": t.version_col,
                         "columns": t.columns,
                         "monitor": t.monitor,
+                        "process_time": t.process_time,
                     }
                     for n, t in self.tables.items()
                 },
@@ -199,4 +243,5 @@ class ERSpec:
                 for n, t in d["tables"].items()
             },
             relations=[Relation(**r) for r in d["relations"]],
+            time_characteristic=d.get("time_characteristic", "EventTime"),
         )

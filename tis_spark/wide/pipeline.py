@@ -72,7 +72,7 @@ from tis_spark.lake.table import (
     prune_entries_by_bloom,
     prune_entries_by_keys,
 )
-from tis_spark.wide.er import ER_TYPE_NAMES, ERSpec
+from tis_spark.wide.er import ER_TYPE_NAMES, PROCESS_TIME_COL, ERSpec
 
 
 class WideRowPipeline:
@@ -92,6 +92,7 @@ class WideRowPipeline:
         lookup_keys_max: int = 100_000,
         base_file_rows: int = 0,  # split sorted bases into zone-prunable files
         fk_layout: bool = True,  # cluster child tables by their routing FK
+        persist_epoch_batch: bool = True,  # see process_epoch; BENCH.md §-2
     ):
         self.spark = spark
         self.root = root
@@ -117,6 +118,7 @@ class WideRowPipeline:
         self.lookup_keys_max = lookup_keys_max
         self.base_file_rows = base_file_rows
         self.fk_layout = fk_layout
+        self.persist_epoch_batch = persist_epoch_batch
         #: per-table observability of the last pruned read:
         #: {table path: {"files_hit": int, "files_total": int}}
         self.prune_stats: dict[str, dict[str, int]] = {}
@@ -299,6 +301,11 @@ class WideRowPipeline:
 
         def _build_one(item):
             name, meta = item
+            src = source_dfs[name]
+            if meta.process_time and PROCESS_TIME_COL not in src.columns:
+                # full-build rows carry the build stamp 0: every
+                # incremental arrival (seq >= 1) supersedes them
+                src = src.withColumn(PROCESS_TIME_COL, F.lit(0).cast("long"))
             lake = LakeTable.create(
                 self.spark,
                 self._src_path(name),
@@ -308,7 +315,7 @@ class WideRowPipeline:
                 num_buckets=self.num_buckets,
                 layout_col=self._layout_for(name),
             )
-            built = self._write_full(lake, source_dfs[name])
+            built = self._write_full(lake, src)
             return name, lake, built.snapshot_id
 
         with ThreadPoolExecutor(max_workers=len(self.spec.tables)) as ex:
@@ -352,7 +359,16 @@ class WideRowPipeline:
         DefaultTable.getInt/getLong/... DefaultTable.java:140-193)."""
         meta = self.spec.tables[name]
         cols = [
-            F.col("after")[c].cast(t.dataType).alias(c)
+            # ProcessTime (§ER timeCharacteristic): the version is the
+            # ingest sequence — the arrival stamp, strictly monotone in
+            # delivery — not a payload field (the reference's generated
+            # processTimeVer column, StreamComponentCodeGenerator.java:
+            # 202-208).  Stamped from seq, not wall clock, so replays are
+            # deterministic; it also covers DELETEs, whose after-image is
+            # null.
+            F.col("seq").cast(t.dataType).alias(c)
+            if meta.process_time and c == PROCESS_TIME_COL
+            else F.col("after")[c].cast(t.dataType).alias(c)
             for c, t in zip(meta.columns, meta.schema.fields)
         ]
         return ev.select("seq", "op", F.col("pk"), *cols)
@@ -402,7 +418,12 @@ class WideRowPipeline:
         # non-replayable MQ source doesn't even guarantee a re-read).
         # Persist keeps lineage (safe under block loss, unlike
         # localCheckpoint) and spills batch-sized data at worst — the
-        # mirror of cdc/pipeline.py's micro-batch persist (A/B in BENCH.md).
+        # mirror of cdc/pipeline.py's micro-batch persist.  A caller whose
+        # batch is ALREADY cached upstream can turn it off
+        # (persist_epoch_batch=False): there the persist is a second copy
+        # of an in-memory batch, measured ~11% of epoch wall (BENCH.md §-2).
+        if not self.persist_epoch_batch:
+            return self._run_epoch(events, epoch_id)
         events = events.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return self._run_epoch(events, epoch_id)
