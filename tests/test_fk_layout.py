@@ -223,3 +223,69 @@ def test_fk_layout_replay_with_compaction_matches_oracle(spark, tmp_path_factory
             pipe.sources[name].read().groupBy(pk).count().filter(F.col("count") > 1)
         )
         assert dup.count() == 0, name
+
+
+def test_partial_compaction_new_bucket_first(spark, tmp_table_dir):
+    """Compact ONLY the new bucket after a relocation: the live copy folds
+    into a BASE file while the old bucket's tombstone is still a DELTA.
+    The reconciliation must be _commit-ordered — a blanket
+    "delta key shadows every base copy" rule lets that dead delta hide the
+    newer live base row and the key vanishes from whole-table reads (the
+    51-epoch soak caught exactly this; tests/test_soak.py)."""
+    lake = _mk_lake(spark, tmp_table_dir)
+    dest = _dest_fk(spark, lake)
+    _append_delta(
+        spark, lake, [("r003", dest, 100, False), ("r003", "p3", None, True)]
+    )
+    old_b, new_b = _bucket_of(spark, lake, "p3"), _bucket_of(spark, lake, dest)
+    lake.compact([new_b])  # old bucket keeps its tombstone as a delta
+
+    got = lake.read().filter(F.col("id") == "r003").collect()
+    assert len(got) == 1 and got[0]["fk"] == dest and got[0]["val"] == 100
+    assert lake.read(buckets=[old_b]).filter(F.col("id") == "r003").count() == 0
+    assert lake.read().groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_move_back_round_trip_with_partial_compactions(spark, tmp_table_dir):
+    """The soak's exact interleaving: relocate, compact only the new
+    bucket, relocate BACK (same-epoch live+tombstone pair), compact only
+    the other side — the key stays visible with the latest values at
+    every step, and never duplicates."""
+    lake = _mk_lake(spark, tmp_table_dir)
+    dest = _dest_fk(spark, lake)
+    old_b, new_b = _bucket_of(spark, lake, "p3"), _bucket_of(spark, lake, dest)
+
+    def _one_row(fk, val):
+        got = lake.read().filter(F.col("id") == "r003").collect()
+        assert len(got) == 1 and got[0]["fk"] == fk and got[0]["val"] == val, got
+
+    # epoch 1: p3 -> dest, fold the live copy into dest's base
+    _append_delta(spark, lake, [("r003", dest, 100, False), ("r003", "p3", None, True)])
+    lake.compact([new_b])
+    _one_row(dest, 100)
+
+    # epoch 2: dest -> p3 (live back in the original bucket, tombstone in
+    # dest's bucket where the compacted base copy now lives)
+    df = (
+        spark.createDataFrame(
+            [("r003", "p3", 200, 2, False), ("r003", dest, None, 2, True)],
+            T.StructType(
+                list(SCHEMA.fields)
+                + [
+                    T.StructField(COMMIT_COL, T.LongType()),
+                    T.StructField(DEAD_COL, T.BooleanType()),
+                ]
+            ),
+        )
+        .withColumn("_bucket", lake.bucket_expr())
+        .repartition(1)
+    )
+    lake.commit(lake.write_data_files(df, kind="delta"), summary={"epoch_id": 2})
+    _one_row("p3", 200)
+
+    # fold the returned live copy; dest's bucket keeps tombstone-as-delta
+    lake.compact([old_b])
+    _one_row("p3", 200)
+    lake.compact([new_b])
+    _one_row("p3", 200)
+    assert lake.read().groupBy("id").count().filter(F.col("count") > 1).count() == 0

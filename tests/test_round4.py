@@ -201,3 +201,59 @@ def test_time_characteristic_spec_roundtrip():
                                    columns={"id": "string", "k": "string"})},
             relations=[],
         )
+
+
+def test_epoch0_delete_beats_full_build_rows(spark, tmp_table_dir):
+    """Initial-build bases stamp _commit = -1 (they predate every epoch):
+    an epoch-0 DELETE tombstone (_commit 0) must still kill a bootstrapped
+    row — the read path's alive-over-dead tie-break at equal _commit is
+    reserved for same-epoch relocation pairs and must not resurrect
+    full-build rows against the stream's very first epoch."""
+    import datetime as dt
+
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.fixtures.gen import CHANGE_SCHEMA
+
+    cfg = CdcConfig(fold_parallelism=4, delete_policy="delete")
+    ing = CdcIngest(spark, tmp_table_dir, cfg)
+    boot = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": f"https://boot.example.org/p{i}",
+                    "warc_ts": pd.Timestamp(1_704_067_200_000 + i * 1000, unit="ms", tz="UTC"),
+                    "html": f"<html><head><title>B{i}</title></head><body><p>w{i}</p></body></html>".encode(),
+                    "lang": "en",
+                }
+                for i in range(20)
+            ]
+        )
+    )
+    ing.full_build(boot)
+    assert ing.final_state().count() == 20
+
+    gone = "https://boot.example.org/p3"
+    ts = dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            {
+                "seq": 1,
+                "delivery_key": 1,
+                "op": "D",
+                "ts_ms": ts,
+                "table": "pages",
+                "schema_version": 1,
+                "ddl": None,
+                "before": {"url": gone, "warc_ts": ts, "html": None, "lang": "en",
+                           "fetch_status": None, "score": None},
+                "after": None,
+                "epoch_hint": 0,
+            }
+        ],
+        schema=CHANGE_SCHEMA,
+    )
+    ing.process_epoch(ev, 0, final_flush=True)
+    from pyspark.sql import functions as F
+
+    assert ing.final_state().filter(F.col("url") == gone).count() == 0
+    assert ing.final_state().count() == 19

@@ -120,7 +120,15 @@ def test_kafka_wire_fixture_end_to_end(spark, tmp_table_dir):
     replayed through the identical parse->ingest chain the live-broker
     branch uses.  Pins the wire format (binary base64 envelope, ISO
     timestamps, PK-keyed records, offset ordering) end-to-end without a
-    broker (S5; reference MQListenerFactory.java:32-66)."""
+    broker (S5; reference MQListenerFactory.java:32-66).
+
+    The chunk mtimes are deliberately FLATTENED first — a fresh git
+    checkout does the same — so the test also pins ensure_chunk_mtime_order:
+    Spark's file stream breaks mtime ties arbitrarily, and an out-of-order
+    chunk replay is whole-chunk disorder a real (offset-ordered) broker
+    partition can never produce."""
+    for f in sorted(os.listdir(FIXTURE_WIRE)):
+        os.utime(os.path.join(FIXTURE_WIRE, f), (1_700_000_000, 1_700_000_000))
     cfg = CdcConfig(fold_parallelism=8)
     s = StreamingCdc(spark, FIXTURE_WIRE, tmp_table_dir, cfg, wire_format="kafka")
     assert s.run_available(max_files_per_trigger=2)

@@ -359,7 +359,11 @@ class CdcIngest:
         key = snap.key_cols[0]
         bucketed = (
             df.select(*cols)
-            .withColumn(COMMIT_COL, F.lit(0).cast("long"))
+            # -1: the initial build predates every epoch (ids start at 0) —
+            # the read path's alive-over-dead tie-break at equal _commit is
+            # reserved for same-epoch relocation pairs and must never fire
+            # against an epoch-0 tombstone (lake/table.py read())
+            .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
             .withColumn(DEAD_COL, F.lit(False))
             .withColumn("_bucket", bucket)
             .repartition(snap.num_buckets, F.col("_bucket"))

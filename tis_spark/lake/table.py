@@ -463,10 +463,37 @@ class LakeTable:
             )
             alive = delta.filter(~F.coalesce(F.col(DEAD_COL), F.lit(False)))
             if base is not None:
-                delta_keys = delta.select(*key)
+                # Base-vs-delta reconciliation must be _commit-ordered, not
+                # "any delta key shadows every base copy": after an FK/router
+                # relocation the live copy and its old-bucket tombstone sit
+                # in DIFFERENT buckets, and per-bucket compaction can fold
+                # the live copy into a *base* file while the other bucket's
+                # tombstone is still a *delta*.  A blanket anti-join would
+                # let that dead delta shadow the newer live base row and the
+                # key would vanish from every read (caught by the 51-epoch
+                # soak, tests/test_soak.py).  Keep a base row iff no delta
+                # carries its key, or the latest delta is a TOMBSTONE that
+                # is older than the base copy — with alive-over-dead at
+                # equal _commit, the same-epoch relocation pair (base rows
+                # are always alive; initial-build bases stamp _commit = -1
+                # so they never tie with a real epoch).
+                dkeys = delta.select(
+                    *key,
+                    F.col(COMMIT_COL).alias("_d_commit"),
+                    F.coalesce(F.col(DEAD_COL), F.lit(False)).alias("_d_dead"),
+                    F.lit(True).alias("_d_present"),
+                )
                 if self._entries_bytes(delta_entries) <= BROADCAST_DELTA_MAX_BYTES:
-                    delta_keys = F.broadcast(delta_keys)
-                merged = base.join(delta_keys, key, "left_anti").unionByName(alive)
+                    dkeys = F.broadcast(dkeys)
+                keep = F.col("_d_present").isNull() | (
+                    F.col("_d_dead") & (F.col(COMMIT_COL) >= F.col("_d_commit"))
+                )
+                merged = (
+                    base.join(dkeys, key, "left")
+                    .filter(keep)
+                    .drop("_d_commit", "_d_dead", "_d_present")
+                    .unionByName(alive)
+                )
             else:
                 merged = alive
         elif base is not None:

@@ -53,6 +53,32 @@ def write_stream_chunks(
     return n
 
 
+def ensure_chunk_mtime_order(source_dir: str) -> int:
+    """Restore the recorded delivery order of a chunked wire capture.
+
+    Spark's file stream admits files in modification-time order and breaks
+    ties arbitrarily, so equal mtimes let a later-recorded chunk replay
+    BEFORE an earlier one — whole-chunk disorder a real broker partition
+    (offset-ordered by contract) can never produce, far beyond the seq
+    watermark's reorder horizon, and fatal for DDL ordering.  Recorders
+    name chunks in delivery order (``write_stream_chunks``), but a git
+    checkout / cp -r flattens mtimes into tie groups.  Re-stamp strictly
+    increasing mtimes in filename order whenever the existing mtimes are
+    not already strictly increasing.  Returns the number of files
+    restamped (0 = order was already unambiguous)."""
+    files = sorted(
+        f for f in os.listdir(source_dir) if not f.startswith(("_", "."))
+    )
+    paths = [os.path.join(source_dir, f) for f in files]
+    mtimes = [os.stat(p).st_mtime for p in paths]
+    if all(a < b for a, b in zip(mtimes, mtimes[1:])):
+        return 0
+    base = int(max(mtimes) if mtimes else 0) + 1
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i, base + i))
+    return len(paths)
+
+
 def parse_kafka_events(raw: DataFrame) -> DataFrame:
     """Kafka wire rows (binary key/value + topic/partition/offset) ->
     CHANGE_SCHEMA events.  The value is a Debezium-style JSON envelope:
@@ -133,6 +159,10 @@ class StreamingCdc:
         self.ingest = CdcIngest(spark, table_path, cfg)
 
     def _make_stream(self, max_files_per_trigger: int) -> DataFrame:
+        if self.kafka is None:
+            # file source standing in for the broker: delivery order is the
+            # recorded chunk order, which flattened mtimes would scramble
+            ensure_chunk_mtime_order(self.source_dir)
         if self.wire_format == "kafka":
             raw = (
                 self.spark.readStream.schema(KAFKA_WIRE_SCHEMA)
@@ -206,6 +236,7 @@ class StreamingWideRow:
     def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
         from tis_spark.fixtures.star import STAR_CHANGE_SCHEMA
 
+        ensure_chunk_mtime_order(self.source_dir)
         stream = (
             self.spark.readStream.schema(STAR_CHANGE_SCHEMA)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -275,7 +275,8 @@ class WideRowPipeline:
         ]
         bucketed = (
             df.select(*cols)
-            .withColumn(COMMIT_COL, F.lit(0).cast("long"))
+            # -1: predates every epoch — see cdc/pipeline.py full-build note
+            .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
             .withColumn(DEAD_COL, F.lit(False))
             .withColumn("_bucket", lake.bucket_expr())
             .repartition(snap.num_buckets, F.col("_bucket"))
