@@ -157,3 +157,36 @@ def test_parse_kafka_events_roundtrip(spark):
     a = src.orderBy("seq").collect()
     b = back.orderBy("seq").collect()
     assert a == b
+
+
+def test_ensure_chunk_mtime_order_unit(tmp_path):
+    """Flattened (tied) mtimes get restamped strictly increasing in
+    filename order; an already-unambiguous capture is left untouched; a
+    read-only capture reports -1 instead of raising."""
+    from tis_spark.streaming.stream import ensure_chunk_mtime_order
+
+    d = tmp_path / "wire"
+    d.mkdir()
+    names = [f"chunk-{i:06d}.parquet" for i in range(4)]
+    for n in names:
+        (d / n).write_bytes(b"x")
+        os.utime(d / n, (1_700_000_000, 1_700_000_000))
+    assert ensure_chunk_mtime_order(str(d)) == 4
+    mt = [os.stat(d / n).st_mtime for n in names]
+    assert all(a < b for a, b in zip(mt, mt[1:]))
+    assert ensure_chunk_mtime_order(str(d)) == 0  # now unambiguous
+
+    for n in names:  # flatten again; emulate immutable storage
+        os.utime(d / n, (1_700_000_000, 1_700_000_000))
+
+    def _deny(*a, **kw):
+        raise PermissionError("read-only capture")
+
+    import tis_spark.streaming.stream as stream_mod
+
+    orig = stream_mod.os.utime
+    stream_mod.os.utime = _deny
+    try:
+        assert ensure_chunk_mtime_order(str(d)) == -1  # report, never raise
+    finally:
+        stream_mod.os.utime = orig

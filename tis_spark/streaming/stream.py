@@ -65,7 +65,9 @@ def ensure_chunk_mtime_order(source_dir: str) -> int:
     checkout / cp -r flattens mtimes into tie groups.  Re-stamp strictly
     increasing mtimes in filename order whenever the existing mtimes are
     not already strictly increasing.  Returns the number of files
-    restamped (0 = order was already unambiguous)."""
+    restamped (0 = order was already unambiguous, -1 = capture is on
+    read-only storage and could not be restamped — the caller proceeds;
+    ambiguity only exists where mtimes actually tie)."""
     files = sorted(
         f for f in os.listdir(source_dir) if not f.startswith(("_", "."))
     )
@@ -74,8 +76,11 @@ def ensure_chunk_mtime_order(source_dir: str) -> int:
     if all(a < b for a, b in zip(mtimes, mtimes[1:])):
         return 0
     base = int(max(mtimes) if mtimes else 0) + 1
-    for i, p in enumerate(paths):
-        os.utime(p, (base + i, base + i))
+    try:
+        for i, p in enumerate(paths):
+            os.utime(p, (base + i, base + i))
+    except OSError:
+        return -1
     return len(paths)
 
 
