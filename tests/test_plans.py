@@ -164,3 +164,38 @@ def test_star_epoch_reads_batch_once(spark, tmp_path):
     stats = pipe.process_epoch(counted, epoch_id=1)
     assert stats.get("n_affected", 0) > 0
     assert acc.value == len(rows), f"batch read {acc.value / len(rows):.1f}x"
+
+
+def test_url_canonicalize_is_shuffle_free(spark):
+    p = plan(spark, "url_canonicalize")
+    assert "Exchange" not in p, f"url_canonicalize gained a shuffle:\n{p}"
+
+
+def test_domain_cap_has_no_whole_domain_window(spark):
+    """domain_cap_topk: the per-row rank window partitions by
+    (domain, n_chars) — fine partitions — never by domain alone over raw
+    rows; domain-only windows may only run above the distinct-length
+    aggregate (the length_decile_stats construction), so a hot domain
+    never funnels through one task."""
+    df = QUERIES["domain_cap_topk"](spark, SF_DIR)
+    jplan = df._jdf.queryExecution().executedPlan().toString()
+    row_windows = [
+        seg for seg in jplan.split("Window")[1:] if "row_number()" in seg.split("\n")[0]
+    ]
+    assert row_windows and all(
+        "domain" in seg.split("\n")[0] and "n_chars" in seg.split("\n")[0]
+        for seg in row_windows
+    ), jplan
+    assert "HashAggregate" in jplan
+
+
+def test_dup_span_stats_never_shuffles_text(spark):
+    """dup_span_stats: grams are md5-hashed inside the Generate, so every
+    Exchange carries 32-byte hashes + ids — the text column must never
+    appear in a shuffle."""
+    df = QUERIES["dup_span_stats"](spark, SF_DIR)
+    jplan = df._jdf.queryExecution().executedPlan().toString()
+    assert "md5(" in jplan, jplan
+    for line in jplan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line

@@ -29,7 +29,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-from tis_spark.operators import analytics, cdcfold, datax_sync, indexing, mlops, multimodal, quality, relational, sqlnode, starfold, temporal, traindata, widerow  # noqa: E402,F401  (registration side effects)
+from tis_spark.operators import analytics, cdcfold, datax_sync, indexing, mlops, multimodal, quality, relational, sqlnode, starfold, temporal, traindata, webcorpus, widerow  # noqa: E402,F401  (registration side effects)
 
 # The driver's correctness gate caps at 50 queries and cuts in REGISTRY
 # insertion order.  Every name in _PRIORITY has a DuckDB oracle, so all 50
