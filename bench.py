@@ -19,6 +19,11 @@ Two workloads:
 N cores vs 4N cores (cluster-size proxy sanctioned by the driver) and
 reports throughput at both plus scaling efficiency
 ``thr_4N / (4 * thr_N)``; results are appended to BENCH.md.
+
+``--cluster-scaling`` runs the north rule's criterion in its literal
+form: the same CDC job spark-submit'ed to ``local-cluster[N,c,m]`` vs
+``local-cluster[4N,c,m]`` — real executor JVM processes under a
+standalone scheduler — weak-scaling protocol, one JSON line.
 """
 
 from __future__ import annotations
@@ -60,6 +65,10 @@ HEADLINE = [
     "sessionize_events",
     "text_repetition_ratio",
     "gopher_quality_filter",
+    # new in r4
+    "url_canonicalize",
+    "domain_cap_topk",
+    "dup_span_stats",
 ]
 
 
@@ -263,8 +272,106 @@ def cdc_only(cpus: int) -> None:
     print(json.dumps(out))
 
 
+def cdc_submitted(n_events: int) -> None:
+    """CDC bench inside a spark-submit'd driver: inherit the submitted
+    master (local-cluster[E,c,m] — real executor JVMs) instead of forcing
+    local[].  Same fixed-partition, best-of-2 protocol as cdc_only."""
+    from tis_spark.fixtures.gen import DISORDER_WINDOW
+    from tis_spark.session import get_spark
+
+    spark = get_spark("tis-bench-lc", shuffle_partitions=64)
+    epoch_size = max(n_events // 4 + DISORDER_WINDOW, 1)
+    reps = [run_cdc(spark, n_events, epoch_size, fixed_partitions=64) for _ in range(2)]
+    out = max(reps, key=lambda r: r["events_per_sec"])
+    out["reps_events_per_sec"] = [r["events_per_sec"] for r in reps]
+    out["master"] = spark.conf.get("spark.master")
+    # block-manager registrations: driver + one per executor process
+    out["n_block_managers"] = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+    spark.stop()
+    print(json.dumps(out))
+
+
+def cluster_scaling() -> None:
+    """The north rule's two-cluster-size criterion in its literal form:
+    the same job spark-submit'ed to local-cluster[N,c,m] and
+    local-cluster[4N,c,m] — separate executor JVM processes under a
+    standalone scheduler, not threads in one JVM.  Weak-scaling protocol
+    (events scale with executors — the 10^10-event regime where batch
+    size grows with the cluster); prints ONE JSON line with throughput at
+    both sizes plus efficiency thr_4N / (4 * thr_N)."""
+    import zipfile
+
+    import pyspark
+
+    exec_lo = int(os.environ.get("SPARK_GRAFT_LC_EXECUTORS", "1"))
+    exec_hi = 4 * exec_lo
+    cores = int(os.environ.get("SPARK_GRAFT_LC_CORES", "4"))
+    spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    workdir = tempfile.mkdtemp(prefix="tis-bench-lc-")
+    try:
+        zip_path = os.path.join(workdir, "tis_spark.zip")
+        with zipfile.ZipFile(zip_path, "w") as z:
+            for root, _dirs, files in os.walk(os.path.join(REPO, "tis_spark")):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+        env = dict(os.environ, PYTHONPATH=REPO, TIS_SPARK_DRIVER_MEM="8g")
+        levels = {}
+        for n_exec in (exec_lo, exec_hi):
+            n_ev = N_EVENTS if n_exec == exec_hi else N_EVENTS // 4
+            p = subprocess.run(
+                [
+                    spark_submit,
+                    "--master",
+                    f"local-cluster[{n_exec},{cores},8192]",
+                    "--driver-memory",
+                    "8g",
+                    "--conf",
+                    "spark.executor.memory=6g",
+                    "--py-files",
+                    zip_path,
+                    __file__,
+                    "--cdc-submitted",
+                    str(n_ev),
+                ],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                env=env,
+                timeout=3600,
+            )
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+                raise RuntimeError(f"no JSON from local-cluster[{n_exec},...] run")
+            levels[n_exec] = json.loads(lines[-1])
+        thr_lo = levels[exec_lo]["events_per_sec"]
+        thr_hi = levels[exec_hi]["events_per_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": "CDC events/sec at N vs 4N executor JVMs (local-cluster weak scaling)",
+                    "executors_n": exec_lo,
+                    "executors_4n": exec_hi,
+                    "cores_per_executor": cores,
+                    "n": levels[exec_lo],
+                    "4n": levels[exec_hi],
+                    "efficiency": round(thr_hi / (4.0 * thr_lo), 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--cdc-only" in sys.argv:
         cdc_only(int(sys.argv[sys.argv.index("--cdc-only") + 1]))
+    elif "--cdc-submitted" in sys.argv:
+        cdc_submitted(int(sys.argv[sys.argv.index("--cdc-submitted") + 1]))
+    elif "--cluster-scaling" in sys.argv:
+        cluster_scaling()
     else:
         main()
