@@ -1,0 +1,178 @@
+"""Snapshot-diff changelog (LakeTable.changes, the Delta-CDF analog).
+
+Ground truth for every case: the state diff of two time-travel reads —
+``changes(a, b)`` must reproduce exactly the inserts / updates / deletes
+that ``read(snapshot_id=b)`` minus ``read(snapshot_id=a)`` implies, with
+postimage values, under compaction, bootstrap, and relocation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tis_spark.cdc import CdcConfig, CdcIngest
+from tis_spark.fixtures.gen import gen_page_changes
+
+
+def _state_diff(old_pdf: pd.DataFrame, new_pdf: pd.DataFrame, key: str):
+    old = {r[key]: r for r in old_pdf.to_dict("records")}
+    new = {r[key]: r for r in new_pdf.to_dict("records")}
+    ins = sorted(set(new) - set(old))
+    dels = sorted(set(old) - set(new))
+    upd = sorted(k for k in set(old) & set(new) if old[k] != new[k])
+    return ins, upd, dels, new
+
+
+def _changes_by_type(cdf):
+    rows = cdf.collect()
+    out = {"insert": {}, "update": {}, "delete": {}, "upsert": {}}
+    for r in rows:
+        d = r.asDict()
+        t = d.pop("_change_type")
+        d.pop("_change_epoch")
+        k = d["url"] if "url" in d else d["id"]
+        assert k not in out[t], f"duplicate {t} for {k}"
+        out[t][k] = d
+    return out
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, tmp_path_factory):
+    """Three-epoch replay with snapshots captured after each epoch."""
+    root = str(tmp_path_factory.mktemp("cdf") / "pages")
+    ing = CdcIngest(spark, root, CdcConfig(fold_parallelism=8, delete_policy="delete"))
+    changes = gen_page_changes(spark, 1800, seed=11, epoch_size=600).cache()
+    marks = {}
+    for i in range(3):
+        ev = changes.filter(
+            (F.col("seq") > i * 600) & (F.col("seq") <= (i + 1) * 600)
+        )
+        ing.process_epoch(ev, i, final_flush=True)
+        marks[i] = ing.table.current_snapshot().snapshot_id
+    changes.unpersist()
+    return ing, marks
+
+
+def _assert_matches_state_diff(ing, s_old, s_new, classify=True):
+    table = ing.table
+    old_pdf = table.read(snapshot_id=s_old).toPandas()
+    new_pdf = table.read(snapshot_id=s_new).toPandas()
+    # harmonize: a DDL inside the window adds columns that read as null on
+    # old rows — that is NOT a logical change to the row
+    for c in new_pdf.columns:
+        if c not in old_pdf.columns:
+            old_pdf[c] = None
+    old_pdf = old_pdf[new_pdf.columns]
+    # html is binary (unhashable in dict compare) -> hex
+    for pdf in (old_pdf, new_pdf):
+        pdf["html"] = pdf["html"].map(lambda b: None if b is None else bytes(b).hex())
+    # NaN (pandas null for numerics) -> None so dict compares are exact
+    old_pdf = old_pdf.astype(object).where(pd.notna(old_pdf), None)
+    new_pdf = new_pdf.astype(object).where(pd.notna(new_pdf), None)
+    ins, upd, dels, new_rows = _state_diff(old_pdf, new_pdf, "url")
+
+    cdf = table.changes(s_old, snapshot_id=s_new, classify=classify)
+    got = _changes_by_type(
+        cdf.withColumn("html", F.hex(F.col("html")))
+    )
+    if classify:
+        assert sorted(got["insert"]) == ins
+        assert sorted(got["update"]) == upd
+        assert not got["upsert"]
+        assert sorted(got["delete"]) == dels
+    else:
+        assert sorted(got["upsert"]) == sorted(ins + upd)
+        assert not got["insert"] and not got["update"]
+        # at-least-once deletes: every real delete present; extras are
+        # keys inserted AND deleted inside the window (absent both sides —
+        # a no-op for an idempotent MERGE consumer)
+        assert set(dels) <= set(got["delete"])
+        for k in set(got["delete"]) - set(dels):
+            assert k not in new_rows, k
+    # postimage values match the new state exactly
+    for t in ("insert", "update", "upsert"):
+        for k, d in got[t].items():
+            want = dict(new_rows[k])
+            d = dict(d)
+            for x in (want, d):
+                if x.get("html") is not None:
+                    x["html"] = x["html"].lower()
+            assert d == want, (t, k)
+    return got
+
+
+def test_changes_match_state_diff_each_epoch(replayed):
+    ing, marks = replayed
+    _assert_matches_state_diff(ing, marks[0], marks[1])
+    _assert_matches_state_diff(ing, marks[1], marks[2])
+    got = _assert_matches_state_diff(ing, marks[0], marks[2])
+    assert got["insert"] or got["update"] or got["delete"]
+
+
+def test_changes_unclassified(replayed):
+    ing, marks = replayed
+    _assert_matches_state_diff(ing, marks[0], marks[2], classify=False)
+
+
+def test_changes_bootstrap_counts_as_inserts(spark, tmp_table_dir):
+    ing = CdcIngest(spark, tmp_table_dir, CdcConfig(fold_parallelism=4))
+    s0 = ing.table.current_snapshot().snapshot_id
+    boot = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": f"https://b.example.org/p{i}",
+                    "warc_ts": pd.Timestamp(1_704_067_200_000 + i, unit="ms", tz="UTC"),
+                    "html": b"<html><body>x</body></html>",
+                    "lang": "en",
+                }
+                for i in range(15)
+            ]
+        )
+    )
+    ing.full_build(boot)
+    cdf = ing.table.changes(s0)
+    assert cdf.filter(F.col("_change_type") != "insert").count() == 0
+    assert cdf.count() == 15
+
+
+def test_changes_survive_compaction_in_window(replayed, spark):
+    """Compacting inside the window folds tombstones away — the key-diff
+    fallback must still report every delete, and upserts stay exact."""
+    ing, marks = replayed
+    table = ing.table
+    snap = table.current_snapshot()
+    pre = snap.snapshot_id
+    table.compact(list(range(snap.num_buckets)))
+    post = table.current_snapshot().snapshot_id
+    # compaction alone is not a logical change
+    assert table.changes(pre, snapshot_id=post).count() == 0
+    # window spanning data epochs + the compaction: same diff as before
+    _assert_matches_state_diff(ing, marks[0], post)
+    _assert_matches_state_diff(ing, marks[1], post, classify=False)
+
+
+def test_changes_relocation_is_single_update(spark, tmp_path):
+    """An FK relocation writes an alive copy in the new bucket and a
+    tombstone in the old — the changelog must collapse the pair into ONE
+    update, never a delete."""
+    from tests.test_fk_layout import _append_delta, _dest_fk, _mk_lake
+
+    lake = _mk_lake(spark, str(tmp_path / "t"))
+    s0 = lake.current_snapshot().snapshot_id
+    dest = _dest_fk(spark, lake)
+    _append_delta(
+        spark, lake, [("r003", dest, 100, False), ("r003", "p3", None, True)]
+    )
+    cdf = lake.changes(s0).collect()
+    assert len(cdf) == 1
+    assert cdf[0]["_change_type"] == "update"
+    assert cdf[0]["id"] == "r003" and cdf[0]["fk"] == dest and cdf[0]["val"] == 100
+
+
+def test_changes_rejects_reversed_window(replayed):
+    ing, marks = replayed
+    with pytest.raises(ValueError):
+        ing.table.changes(marks[2], snapshot_id=marks[0])

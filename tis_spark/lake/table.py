@@ -502,6 +502,163 @@ class LakeTable:
             return empty
         return merged if with_internal else merged.drop(*internal)
 
+    # ------------------------------------------------------- change feed
+
+    def changes(
+        self,
+        since_snapshot_id: int,
+        snapshot_id: int | None = None,
+        classify: bool = True,
+    ) -> DataFrame:
+        """Snapshot-diff changelog (the Delta-CDF / Iceberg-changelog
+        analog): every key whose state differs between ``since_snapshot_id``
+        and ``snapshot_id`` (default: current), one row per key, with
+        ``_change_type`` in {insert, update, delete} (``upsert``/``delete``
+        when ``classify=False``) and ``_change_epoch`` = the epoch that last
+        touched the key.  This is what lets downstream consumers (index
+        backflow, derived aggregates, replicas) maintain themselves
+        incrementally instead of re-reading 100 TB of table state — the
+        reference's full-rebuild index backflow re-reads everything
+        (tis-index-builder); here the delta IS the interface.
+
+        Plan shape: the fast path reads ONLY the data files added between
+        the two snapshots (log file-set diff — untouched buckets are never
+        opened), filters to rows newer than the old snapshot's epoch
+        horizon, and takes the per-key latest copy (alive-over-dead at
+        equal epoch, the relocation tie-break).  ``classify=True`` adds one
+        key-column-only scan of the OLD snapshot (column-pruned parquet) to
+        split inserts from updates and confirm deletes.  If a compaction
+        committed inside the window, folded-away tombstones can no longer
+        witness deletes, so deletes fall back to an old-keys∖new-keys
+        anti-join (two key-only scans) — detected automatically from the
+        commit summaries; upserts stay on the fast path either way
+        (compaction preserves per-row _commit).
+
+        Emitted rows carry the NEW row state (postimage); delete rows carry
+        the key with null payload.  Bootstrap full-build rows (epoch -1)
+        count as inserts when the old snapshot predates the build.
+        ``classify=False`` never reads old state, so its deletes are
+        at-least-once: a key inserted AND deleted inside the window still
+        emits a delete notice (the key was already absent at the old
+        snapshot) — a no-op for the idempotent MERGE/DELETE consumers the
+        mode is for; ``classify=True`` filters them exactly.  Raises
+        ``KeyError`` if ``since_snapshot_id`` has been expired."""
+        new_snap = (
+            self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
+        )
+        old_snap = self.snapshot(since_snapshot_id)
+        if new_snap.snapshot_id < old_snap.snapshot_id:
+            raise ValueError("snapshot_id precedes since_snapshot_id")
+        key = new_snap.key_cols
+        cur = new_snap.schema
+        ctype = F.lit  # readability below
+
+        # epoch horizon visible at the old snapshot (full-build rows stamp
+        # -1; -2 when the old snapshot held no data at all, so a bootstrap
+        # in the window surfaces as inserts)
+        since_epoch = -1 if any(old_snap.files.values()) else -2
+        for s in reversed(self.history()):
+            if s.snapshot_id <= old_snap.snapshot_id and "epoch_id" in s.summary:
+                since_epoch = int(s.summary["epoch_id"])
+                break
+        compaction_in_window = any(
+            old_snap.snapshot_id < s.snapshot_id <= new_snap.snapshot_id
+            and "compaction" in s.summary
+            for s in self.history()
+        )
+
+        old_paths = {e["path"] for ents in old_snap.files.values() for e in ents}
+        cand = [
+            e
+            for ents in new_snap.files.values()
+            for e in ents
+            if e["path"] not in old_paths
+        ]
+        out_fields = [f.name for f in cur.fields]
+        empty = self.spark.createDataFrame(
+            [],
+            T.StructType(
+                list(cur.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_change_epoch", T.LongType()),
+                ]
+            ),
+        )
+        raw = self._read_parts(new_snap, None, {"base", "delta"}, entries=cand)
+        if raw is None and not compaction_in_window:
+            return empty
+        latest = None
+        if raw is not None:
+            w = Window.partitionBy(*key).orderBy(F.desc(COMMIT_COL), F.asc(DEAD_COL))
+            latest = (
+                raw.filter(F.col(COMMIT_COL) > F.lit(since_epoch))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        dead = F.coalesce(F.col(DEAD_COL), F.lit(False))
+        need_old_keys = classify or compaction_in_window
+        old_keys = (
+            self.read(snapshot_id=old_snap.snapshot_id).select(*key)
+            if need_old_keys
+            else None
+        )
+
+        parts: list[DataFrame] = []
+        if latest is not None:
+            ups = latest.filter(~dead)
+            if classify:
+                parts.append(
+                    ups.join(old_keys, key, "left_anti")
+                    .select(*out_fields, ctype("insert").alias("_change_type"),
+                            F.col(COMMIT_COL).alias("_change_epoch"))
+                )
+                parts.append(
+                    ups.join(old_keys, key, "left_semi")
+                    .select(*out_fields, ctype("update").alias("_change_type"),
+                            F.col(COMMIT_COL).alias("_change_epoch"))
+                )
+            else:
+                parts.append(
+                    ups.select(*out_fields, ctype("upsert").alias("_change_type"),
+                               F.col(COMMIT_COL).alias("_change_epoch"))
+                )
+        if compaction_in_window:
+            new_keys = self.read(snapshot_id=new_snap.snapshot_id).select(*key)
+            gone = old_keys.join(new_keys, key, "left_anti")
+            parts.append(
+                gone.select(
+                    *[
+                        F.col(f.name) if f.name in key
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in cur.fields
+                    ],
+                    ctype("delete").alias("_change_type"),
+                    F.lit(None).cast("long").alias("_change_epoch"),
+                )
+            )
+        elif latest is not None:
+            tomb = latest.filter(dead)
+            if classify:
+                # the engine only tombstones keys it has seen, but the
+                # semi-join keeps the contract independent of that invariant
+                tomb = tomb.join(old_keys, key, "left_semi")
+            parts.append(
+                tomb.select(
+                    *[
+                        F.col(f.name) if f.name in key
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in cur.fields
+                    ],
+                    ctype("delete").alias("_change_type"),
+                    F.col(COMMIT_COL).alias("_change_epoch"),
+                )
+            )
+        if not parts:
+            return empty
+        return reduce(DataFrame.unionByName, parts)
+
     # ------------------------------------------------------------- write
 
     def write_data_files(
