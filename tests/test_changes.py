@@ -176,3 +176,92 @@ def test_changes_rejects_reversed_window(replayed):
     ing, marks = replayed
     with pytest.raises(ValueError):
         ing.table.changes(marks[2], snapshot_id=marks[0])
+
+
+# ------------------------------------------------------------- preimages
+
+
+def _norm_pdf(pdf, columns):
+    for c in columns:
+        if c not in pdf.columns:
+            pdf[c] = None
+    pdf = pdf[list(columns)]
+    pdf["html"] = pdf["html"].map(lambda b: None if b is None else bytes(b).hex())
+    return pdf.astype(object).where(pd.notna(pdf), None)
+
+
+def test_changes_with_preimage_matches_time_travel(replayed):
+    """update_preimage / delete rows must carry the exact OLD row state
+    (ground truth: a time-travel read of the old snapshot), postimages the
+    exact NEW state, across single- and multi-epoch windows."""
+    ing, marks = replayed
+    table = ing.table
+    for a, b in [(marks[0], marks[1]), (marks[0], marks[2])]:
+        new_pdf = table.read(snapshot_id=b).toPandas()
+        cols = list(new_pdf.columns)
+        new_pdf = _norm_pdf(new_pdf, cols)
+        old_pdf = _norm_pdf(table.read(snapshot_id=a).toPandas(), cols)
+        ins, upd, dels, _ = _state_diff(old_pdf, new_pdf, "url")
+        old_rows = {r["url"]: r for r in old_pdf.to_dict("records")}
+        new_rows = {r["url"]: r for r in new_pdf.to_dict("records")}
+
+        cdf = table.changes(a, snapshot_id=b, with_preimage=True)
+        by = {}
+        for r in cdf.withColumn("html", F.hex("html")).collect():
+            d = r.asDict()
+            t = d.pop("_change_type")
+            d.pop("_change_epoch")
+            if d.get("html") is not None:
+                d["html"] = d["html"].lower()
+            assert d["url"] not in by.setdefault(t, {}), (t, d["url"])
+            by[t][d["url"]] = d
+        assert "update" not in by  # preimage mode splits updates
+        assert sorted(by.get("insert", {})) == ins
+        assert sorted(by.get("update_postimage", {})) == upd
+        assert sorted(by.get("update_preimage", {})) == upd
+        assert sorted(by.get("delete", {})) == dels
+        for k in ins:
+            assert by["insert"][k] == new_rows[k]
+        for k in upd:
+            assert by["update_preimage"][k] == old_rows[k], k
+            assert by["update_postimage"][k] == new_rows[k], k
+        for k in dels:
+            assert by["delete"][k] == old_rows[k], k
+
+
+def test_changes_preimage_survives_compaction_in_window(replayed):
+    """The key-diff delete fallback must still produce full delete
+    preimages when a compaction inside the window folded tombstones."""
+    ing, marks = replayed
+    table = ing.table
+    snap = table.current_snapshot()
+    table.compact(list(range(snap.num_buckets)))
+    post = table.current_snapshot().snapshot_id
+    a = marks[0]
+    new_pdf = table.read(snapshot_id=post).toPandas()
+    cols = list(new_pdf.columns)
+    new_pdf = _norm_pdf(new_pdf, cols)
+    old_pdf = _norm_pdf(table.read(snapshot_id=a).toPandas(), cols)
+    ins, upd, dels, _ = _state_diff(old_pdf, new_pdf, "url")
+    old_rows = {r["url"]: r for r in old_pdf.to_dict("records")}
+
+    cdf = table.changes(a, snapshot_id=post, with_preimage=True)
+    got = {}
+    for r in cdf.filter(F.col("_change_type") == "delete").withColumn(
+        "html", F.hex("html")
+    ).collect():
+        d = r.asDict()
+        d.pop("_change_type")
+        d.pop("_change_epoch")
+        if d.get("html") is not None:
+            d["html"] = d["html"].lower()
+        got[d["url"]] = d
+    assert sorted(got) == dels
+    for k in dels:
+        assert got[k] == old_rows[k], k
+
+
+def test_changes_preimage_requires_classify(replayed):
+    ing, marks = replayed
+    with pytest.raises(ValueError):
+        ing.table.changes(marks[0], classify=False, with_preimage=True)

@@ -1,0 +1,325 @@
+"""Incrementally-maintained materialized aggregates over a lake table.
+
+The reference rebuilds every derived artifact with a full-table pass
+(tis-index-builder's full-build flow, IndexSwapTaskFlowLauncher.java; the
+only thing its incremental path maintains is the wide row itself).  Here
+the snapshot-diff changelog in preimage mode (``LakeTable.changes(...,
+with_preimage=True)``) makes ANY group-by aggregate self-maintaining: a
+refresh reads O(delta) change rows instead of O(table) state, applies
+signed contributions, and commits the per-group deltas to the view's own
+lake table under the same exactly-once protocol as the engines — writer
+fencing via ``expected_snapshot_id`` plus a source-snapshot watermark in
+the commit summary, so a replayed/raced refresh is a conflict or a no-op,
+never a double-apply.
+
+Maintenance algebra per group g:
+
+* ``count`` / ``sum``: exactly delta-maintainable — insert and
+  update_postimage rows contribute +1/+v, delete and update_preimage rows
+  contribute -1/-v; new = old + delta.  A per-sum non-null count is
+  maintained alongside so an all-null group exposes SQL's ``NULL`` sum,
+  not 0.  (Integral sums are exact; float sums accumulate in a different
+  order than a rescan would — use integral columns where bit-equality
+  matters.)
+* ``min`` / ``max``: delta-maintainable while a group only GAINS rows
+  (``least(old, batch_min)``); a retraction (delete / update_preimage)
+  can remove the extremum, so retracted groups are recomputed from the
+  source snapshot being caught up to, restricted to exactly those groups
+  (null-safe semi-join; O(retracted groups' rows), column-pruned).
+* a group whose maintained row count reaches 0 is tombstoned; a later
+  insert resurrects it through normal delta reconciliation.
+
+At 10^10-event scale a refresh therefore shuffles the changelog
+(O(changed keys)) plus the retracted-group recompute — never the full
+source and never the full view; untouched view buckets are not even
+opened (bucket-restricted read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+
+N_COL = "_mv_n"  # maintained group cardinality; also the view's version col
+_SPEC_FILE = "mv.json"
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+AGG_FNS = {"count", "sum", "min", "max"}
+
+
+def _nn(out: str) -> str:
+    return f"_mv_nn_{out}"
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, cols: list[str]) -> Column:
+    return reduce(Column.__and__, [left[c].eqNullSafe(right[c]) for c in cols])
+
+
+class MaterializedView:
+    """A group-by aggregate view stored as its own :class:`LakeTable`
+    (keyed on the group columns) and maintained from the source table's
+    preimage changelog.  ``create`` + ``full_build`` bootstrap it;
+    ``refresh`` catches it up to the source's current snapshot."""
+
+    def __init__(self, spark: SparkSession, path: str, source: LakeTable | None = None):
+        self.spark = spark
+        self.path = path
+        self.table = LakeTable.load(spark, path)
+        with open(os.path.join(path, _SPEC_FILE)) as f:
+            spec = json.load(f)
+        self.group_cols: list[str] = spec["group_cols"]
+        self.aggs: list[tuple[str, str, str | None]] = [tuple(a) for a in spec["aggs"]]
+        self.source = source if source is not None else LakeTable.load(spark, spec["source"])
+
+    # ------------------------------------------------------------ lifecycle
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        source: LakeTable,
+        group_cols: list[str],
+        aggs: dict[str, tuple[str, str | None]],
+        num_buckets: int = 16,
+    ) -> "MaterializedView":
+        """Define the view (no data yet — call ``full_build``).  ``aggs``
+        maps output column -> (fn, source column); fn in {count, sum, min,
+        max} (count takes no column).  Aggregated columns must exist in
+        the source schema at create time; avg is sum/count downstream."""
+        src_schema = source.current_snapshot().schema
+        src_fields = {f.name: f for f in src_schema.fields}
+        for c in group_cols:
+            assert c in src_fields, f"group col {c!r} not in source schema"
+        fields = [T.StructField(c, src_fields[c].dataType) for c in group_cols]
+        fields.append(T.StructField(N_COL, T.LongType()))
+        norm: list[tuple[str, str, str | None]] = []
+        for out, (fn, col) in aggs.items():
+            assert fn in AGG_FNS, f"unsupported agg fn {fn!r}"
+            assert out not in {f.name for f in fields}, f"duplicate output {out!r}"
+            if fn == "count":
+                fields.append(T.StructField(out, T.LongType()))
+                norm.append((out, fn, None))
+                continue
+            assert col in src_fields, f"agg col {col!r} not in source schema"
+            st = src_fields[col].dataType
+            if fn == "sum":
+                ot = T.LongType() if isinstance(st, _INTEGRAL) else T.DoubleType()
+                fields.append(T.StructField(out, ot))
+                fields.append(T.StructField(_nn(out), T.LongType()))
+            else:
+                fields.append(T.StructField(out, st))
+            norm.append((out, fn, col))
+        LakeTable.create(
+            spark,
+            path,
+            T.StructType(fields),
+            key_cols=list(group_cols),
+            version_col=N_COL,
+            num_buckets=num_buckets,
+        )
+        with open(os.path.join(path, _SPEC_FILE), "w") as f:
+            json.dump(
+                {"source": source.path, "group_cols": list(group_cols), "aggs": norm}, f
+            )
+        return MaterializedView(spark, path, source=source)
+
+    # ------------------------------------------------------------- helpers
+
+    def _sum_type(self, out: str) -> T.DataType:
+        return next(f.dataType for f in self.table.current_snapshot().schema.fields if f.name == out)
+
+    def _agg_exprs(self) -> list[Column]:
+        exprs = [F.count(F.lit(1)).cast("long").alias(N_COL)]
+        for out, fn, col in self.aggs:
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+            elif fn == "sum":
+                st = self._sum_type(out)
+                exprs.append(F.coalesce(F.sum(F.col(col).cast(st)), F.lit(0).cast(st)).alias(out))
+                exprs.append(F.count(col).cast("long").alias(_nn(out)))
+            elif fn == "min":
+                exprs.append(F.min(col).alias(out))
+            else:
+                exprs.append(F.max(col).alias(out))
+        return exprs
+
+    def _last_source_snapshot(self) -> int:
+        for s in reversed(self.table.history()):
+            if "mv_source_snapshot" in s.summary:
+                return int(s.summary["mv_source_snapshot"])
+        raise ValueError("view has no full build yet")
+
+    def _next_epoch(self) -> int:
+        for s in reversed(self.table.history()):
+            if "epoch_id" in s.summary:
+                return int(s.summary["epoch_id"]) + 1
+        return 0
+
+    # ------------------------------------------------------------ full build
+
+    def full_build(self) -> None:
+        """One aggregate pass over the source's current snapshot; base
+        rows stamp ``_commit = -1`` per lake convention."""
+        tsnap = self.table.current_snapshot()
+        src_snap = self.source.current_snapshot()
+        agg = (
+            self.source.read(snapshot_id=src_snap.snapshot_id)
+            .groupBy(*self.group_cols)
+            .agg(*self._agg_exprs())
+        )
+        stamped = (
+            agg.withColumn("_bucket", self.table.bucket_expr())
+            .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+        )
+        files = self.table.write_data_files(stamped, kind="base")
+        self.table.commit(
+            files,
+            summary={"epoch_id": 0, "mv_source_snapshot": src_snap.snapshot_id},
+            expected_snapshot_id=tsnap.snapshot_id,
+        )
+
+    # --------------------------------------------------------------- refresh
+
+    def refresh(self) -> dict:
+        """Catch the view up to the source's current snapshot from the
+        preimage changelog.  Returns maintenance stats.  Exactly-once: the
+        commit carries the source snapshot watermark and is fenced on the
+        view snapshot this refresh read (a concurrent refresh loses with
+        ``CommitConflict``); re-running after success is a no-op."""
+        tsnap = self.table.current_snapshot()
+        last_src = self._last_source_snapshot()
+        src_snap = self.source.current_snapshot()
+        if src_snap.snapshot_id <= last_src:
+            return {"groups": 0, "epoch": None, "up_to_date": True}
+        epoch = self._next_epoch()
+        gcols = self.group_cols
+        ch = self.source.changes(last_src, src_snap.snapshot_id, with_preimage=True)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        dexprs = [F.sum(sign).cast("long").alias("_d_n")]
+        has_extrema = False
+        for out, fn, col in self.aggs:
+            if fn == "sum":
+                st = self._sum_type(out)
+                v = F.col(col).cast(st)
+                dexprs.append(
+                    F.coalesce(
+                        F.sum(F.when(v.isNotNull(), sign.cast(st) * v)), F.lit(0).cast(st)
+                    ).alias(f"_d_{out}")
+                )
+                dexprs.append(
+                    F.coalesce(F.sum(F.when(F.col(col).isNotNull(), sign)), F.lit(0))
+                    .cast("long")
+                    .alias(f"_dn_{out}")
+                )
+            elif fn == "min":
+                has_extrema = True
+                dexprs.append(F.min(F.when(sign > 0, F.col(col))).alias(f"_ins_{out}"))
+            elif fn == "max":
+                has_extrema = True
+                dexprs.append(F.max(F.when(sign > 0, F.col(col))).alias(f"_ins_{out}"))
+        dexprs.append(F.max(F.when(sign < 0, F.lit(1)).otherwise(F.lit(0))).alias("_retr"))
+        delta = ch.groupBy(*gcols).agg(*dexprs).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # touched buckets + group count: ONE action over <= num_buckets rows
+            binfo = (
+                delta.groupBy(self.table.bucket_expr().alias("_b")).count().collect()
+            )
+            if not binfo:
+                # metadata-only watermark advance (e.g. only a compaction
+                # or DDL moved the source snapshot)
+                self.table.commit(
+                    {},
+                    summary={"epoch_id": epoch, "mv_source_snapshot": src_snap.snapshot_id},
+                    expected_snapshot_id=tsnap.snapshot_id,
+                )
+                return {"groups": 0, "epoch": epoch, "up_to_date": False}
+            touched = sorted(int(r["_b"]) for r in binfo)
+            n_groups = sum(r["count"] for r in binfo)
+
+            old = self.table.read(buckets=touched)
+            merged = delta.join(old, _null_safe_on(delta, old, gcols), "left")
+            rec = None
+            if has_extrema:
+                # retracted groups: the stored extremum may have left —
+                # recompute them from the snapshot being caught up to,
+                # restricted to exactly those groups (column-pruned scan)
+                retr = delta.filter(F.col("_retr") == 1).select(*gcols)
+                src_rows = self.source.read(snapshot_id=src_snap.snapshot_id)
+                rex = [
+                    (F.min(col) if fn == "min" else F.max(col)).alias(f"_rec_{out}")
+                    for out, fn, col in self.aggs
+                    if fn in ("min", "max")
+                ]
+                rec = (
+                    src_rows.join(retr, _null_safe_on(src_rows, retr, gcols), "left_semi")
+                    .groupBy(*gcols)
+                    .agg(*rex)
+                )
+                merged = merged.join(rec, _null_safe_on(delta, rec, gcols), "left")
+
+            new_n = (F.coalesce(old[N_COL], F.lit(0)) + delta["_d_n"]).alias(N_COL)
+            out_cols: list[Column] = [delta[c].alias(c) for c in gcols] + [new_n]
+            for out, fn, col in self.aggs:
+                if fn == "count":
+                    out_cols.append(
+                        (F.coalesce(old[N_COL], F.lit(0)) + delta["_d_n"]).alias(out)
+                    )
+                elif fn == "sum":
+                    st = self._sum_type(out)
+                    out_cols.append(
+                        (F.coalesce(old[out], F.lit(0).cast(st)) + delta[f"_d_{out}"]).alias(out)
+                    )
+                    out_cols.append(
+                        (F.coalesce(old[_nn(out)], F.lit(0)) + delta[f"_dn_{out}"]).alias(_nn(out))
+                    )
+                else:
+                    gained = (
+                        F.least(old[out], delta[f"_ins_{out}"])
+                        if fn == "min"
+                        else F.greatest(old[out], delta[f"_ins_{out}"])
+                    )
+                    out_cols.append(
+                        F.when(delta["_retr"] == 1, rec[f"_rec_{out}"]).otherwise(gained).alias(out)
+                    )
+            rows = merged.select(*out_cols)
+            stamped = (
+                rows.withColumn("_bucket", self.table.bucket_expr())
+                .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+                .withColumn(DEAD_COL, F.col(N_COL) <= 0)
+            )
+            files = self.table.write_data_files(stamped, kind="delta")
+            self.table.commit(
+                files,
+                summary={"epoch_id": epoch, "mv_source_snapshot": src_snap.snapshot_id},
+                expected_snapshot_id=tsnap.snapshot_id,
+            )
+            return {"groups": int(n_groups), "epoch": epoch, "up_to_date": False}
+        finally:
+            delta.unpersist()
+
+    # ----------------------------------------------------------------- read
+
+    def read(self, with_internal: bool = False) -> DataFrame:
+        """Current view state: group cols + aggregate outputs.  Sums whose
+        group holds only nulls expose SQL's NULL (the maintained raw sum is
+        0-based; the non-null count gates it)."""
+        df = self.table.read()
+        if with_internal:
+            return df
+        cols = [F.col(c) for c in self.group_cols]
+        for out, fn, col in self.aggs:
+            if fn == "sum":
+                cols.append(F.when(F.col(_nn(out)) > 0, F.col(out)).alias(out))
+            else:
+                cols.append(F.col(out))
+        return df.select(*cols)

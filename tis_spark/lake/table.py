@@ -509,13 +509,28 @@ class LakeTable:
         since_snapshot_id: int,
         snapshot_id: int | None = None,
         classify: bool = True,
+        with_preimage: bool = False,
     ) -> DataFrame:
         """Snapshot-diff changelog (the Delta-CDF / Iceberg-changelog
         analog): every key whose state differs between ``since_snapshot_id``
         and ``snapshot_id`` (default: current), one row per key, with
         ``_change_type`` in {insert, update, delete} (``upsert``/``delete``
         when ``classify=False``) and ``_change_epoch`` = the epoch that last
-        touched the key.  This is what lets downstream consumers (index
+        touched the key.
+
+        ``with_preimage=True`` (requires ``classify``) upgrades the feed to
+        full CDF rows: updates split into ``update_preimage`` /
+        ``update_postimage`` pairs and delete rows carry the deleted row's
+        OLD values instead of a null payload — exactly what a retracting
+        consumer (incremental aggregate maintenance, see
+        ``lake/matview.py``) needs to subtract a key's old contribution
+        before adding its new one.  Preimages come from ONE read of the old
+        snapshot inner-joined to the changed-key set; because the result is
+        lazy, a consumer that selects a column subset prunes the old-state
+        parquet scan to those columns.  Rows from before a
+        column-adding/widening DDL are aligned to the NEW schema (missing
+        columns null, narrower types cast), mirroring what
+        ``read(snapshot_id=old)`` + the DDL would show.  This is what lets downstream consumers (index
         backflow, derived aggregates, replicas) maintain themselves
         incrementally instead of re-reading 100 TB of table state — the
         reference's full-rebuild index backflow re-reads everything
@@ -543,6 +558,8 @@ class LakeTable:
         snapshot) — a no-op for the idempotent MERGE/DELETE consumers the
         mode is for; ``classify=True`` filters them exactly.  Raises
         ``KeyError`` if ``since_snapshot_id`` has been expired."""
+        if with_preimage and not classify:
+            raise ValueError("with_preimage requires classify=True")
         new_snap = (
             self.current_snapshot() if snapshot_id is None else self.snapshot(snapshot_id)
         )
@@ -606,6 +623,7 @@ class LakeTable:
         )
 
         parts: list[DataFrame] = []
+        pre_keys: list[DataFrame] = []  # key cols + _pre_epoch + _pre_type
         if latest is not None:
             ups = latest.filter(~dead)
             if classify:
@@ -614,11 +632,17 @@ class LakeTable:
                     .select(*out_fields, ctype("insert").alias("_change_type"),
                             F.col(COMMIT_COL).alias("_change_epoch"))
                 )
+                upd = ups.join(old_keys, key, "left_semi")
+                upd_type = "update_postimage" if with_preimage else "update"
                 parts.append(
-                    ups.join(old_keys, key, "left_semi")
-                    .select(*out_fields, ctype("update").alias("_change_type"),
-                            F.col(COMMIT_COL).alias("_change_epoch"))
+                    upd.select(*out_fields, ctype(upd_type).alias("_change_type"),
+                               F.col(COMMIT_COL).alias("_change_epoch"))
                 )
+                if with_preimage:
+                    pre_keys.append(
+                        upd.select(*key, F.col(COMMIT_COL).alias("_pre_epoch"),
+                                   ctype("update_preimage").alias("_pre_type"))
+                    )
             else:
                 parts.append(
                     ups.select(*out_fields, ctype("upsert").alias("_change_type"),
@@ -627,32 +651,64 @@ class LakeTable:
         if compaction_in_window:
             new_keys = self.read(snapshot_id=new_snap.snapshot_id).select(*key)
             gone = old_keys.join(new_keys, key, "left_anti")
-            parts.append(
-                gone.select(
-                    *[
-                        F.col(f.name) if f.name in key
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in cur.fields
-                    ],
-                    ctype("delete").alias("_change_type"),
-                    F.lit(None).cast("long").alias("_change_epoch"),
+            if with_preimage:
+                pre_keys.append(
+                    gone.select(*key, F.lit(None).cast("long").alias("_pre_epoch"),
+                                ctype("delete").alias("_pre_type"))
                 )
-            )
+            else:
+                parts.append(
+                    gone.select(
+                        *[
+                            F.col(f.name) if f.name in key
+                            else F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in cur.fields
+                        ],
+                        ctype("delete").alias("_change_type"),
+                        F.lit(None).cast("long").alias("_change_epoch"),
+                    )
+                )
         elif latest is not None:
             tomb = latest.filter(dead)
             if classify:
                 # the engine only tombstones keys it has seen, but the
                 # semi-join keeps the contract independent of that invariant
                 tomb = tomb.join(old_keys, key, "left_semi")
+            if with_preimage:
+                pre_keys.append(
+                    tomb.select(*key, F.col(COMMIT_COL).alias("_pre_epoch"),
+                                ctype("delete").alias("_pre_type"))
+                )
+            else:
+                parts.append(
+                    tomb.select(
+                        *[
+                            F.col(f.name) if f.name in key
+                            else F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in cur.fields
+                        ],
+                        ctype("delete").alias("_change_type"),
+                        F.col(COMMIT_COL).alias("_change_epoch"),
+                    )
+                )
+        if pre_keys:
+            # one old-snapshot read restricted to the changed keys; old
+            # pre-DDL rows align to the new schema (missing cols null,
+            # narrower types cast) so the feed is schema-stable
+            old_names = {f.name for f in old_snap.schema.fields}
+            old_aligned = self.read(snapshot_id=old_snap.snapshot_id).select(
+                *[
+                    (F.col(f.name).cast(f.dataType) if f.name in old_names
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in cur.fields
+                ]
+            )
+            pk = reduce(DataFrame.unionByName, pre_keys)
             parts.append(
-                tomb.select(
-                    *[
-                        F.col(f.name) if f.name in key
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in cur.fields
-                    ],
-                    ctype("delete").alias("_change_type"),
-                    F.col(COMMIT_COL).alias("_change_epoch"),
+                old_aligned.join(pk, key, "inner").select(
+                    *out_fields,
+                    F.col("_pre_type").alias("_change_type"),
+                    F.col("_pre_epoch").alias("_change_epoch"),
                 )
             )
         if not parts:
