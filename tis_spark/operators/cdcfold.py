@@ -119,3 +119,80 @@ def cdc_engine_fold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "lang",
     )
+
+
+@query(
+    "matview_group_rollup",
+    f"""
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    ),
+    state AS (
+      SELECT url, ({BASE_S} + seq) * 1000000 AS warc_ts_us, event_type AS lang
+      FROM win WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(min(warc_ts_us) AS BIGINT) AS min_ts_us,
+           CAST(max(warc_ts_us) AS BIGINT) AS max_ts_us
+    FROM state GROUP BY lang
+    """,
+)
+def matview_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate, driver-checkable:
+    replay the FIRST HALF of the derived stream through the real engine,
+    full-build a per-lang materialized view (count/min/max over the page
+    versions), replay the SECOND HALF, then catch the view up with ONE
+    changelog refresh (lake/matview.py — preimage CDF, signed deltas,
+    retraction recompute).  Because each key's lang is its LAST event_type,
+    second-half updates constantly move keys between lang groups, so the
+    refresh exercises retractions, not just gains.  A green hash proves the
+    incremental view lands on exactly the aggregate of the final folded
+    state — which is what the DuckDB oracle computes directly.
+
+    Reference contrast: TIS rebuilds derived artifacts with full passes
+    (tis-index-builder IndexSwapTaskFlowLauncher.java); here the refresh
+    reads O(second-half keys) change rows, never the table.
+    """
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.lake.matview import MaterializedView
+
+    table_dir = tempfile.mkdtemp(prefix="tis-mvq-")
+    changes = derived_changes(spark, sf_dir)
+    max_seq = changes.agg(F.max("seq")).first()[0]
+    # replay() derives epoch ids from seq // epoch_size, so the split must
+    # sit ON an epoch boundary — otherwise the second replay re-delivers
+    # the straddling epoch and exactly-once fencing (correctly) drops it
+    ep = 2500 if max_seq >= 5000 else 500
+    half = ep * max(1, max_seq // (2 * ep))
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    # replay epochs are [e*ep, (e+1)*ep): split strictly below/at-or-above
+    ingest.replay(changes.filter(F.col("seq") < half), epoch_size=ep)
+    mv = MaterializedView.create(
+        spark,
+        table_dir + "_mv",
+        ingest.table,
+        ["lang"],
+        {"n_pages": ("count", None), "min_ts": ("min", "warc_ts"), "max_ts": ("max", "warc_ts")},
+    )
+    mv.full_build()
+    ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
+    mv.refresh()
+    return mv.read().select(
+        "lang",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.unix_micros("min_ts").alias("min_ts_us"),
+        F.unix_micros("max_ts").alias("max_ts_us"),
+    )
