@@ -1,0 +1,162 @@
+"""Incremental-view maintenance bench: refresh cost vs table size.
+
+Demonstrates the point of lake/matview.py at scale: catching a group-by
+aggregate up after K changed keys costs O(K) — the changelog read plus a
+bucket-restricted view merge — while the alternative (what the reference
+does for every derived artifact: tis-index-builder's full rebuild) costs
+O(table).  The refresh wall should stay flat as the source grows; the
+full-recompute wall should grow linearly.
+
+Method: create source lake tables of increasing row counts (key id,
+group g of bounded cardinality, long payload), full-build the view once,
+apply ONE delta commit of K upserts (value changes, group moves, deletes)
++ the matching tombstones, then measure (a) mv.refresh() wall and (b) a
+full groupBy recompute + base rewrite wall on the same table.  Refresh
+correctness is re-asserted against the recompute each round.
+
+Usage: python bench_matview.py  [sizes via SPARK_GRAFT_MV_SIZES, default
+"1000000,4000000,16000000"; K via SPARK_GRAFT_MV_KEYS=20000; groups via
+SPARK_GRAFT_MV_GROUPS=10000]  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from tis_spark.lake.matview import MaterializedView  # noqa: E402
+from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable  # noqa: E402
+from tis_spark.session import get_spark  # noqa: E402
+
+SIZES = [int(x) for x in os.environ.get(
+    "SPARK_GRAFT_MV_SIZES", "1000000,4000000,16000000"
+).split(",")]
+K = int(os.environ.get("SPARK_GRAFT_MV_KEYS", "20000"))
+GROUPS = int(os.environ.get("SPARK_GRAFT_MV_GROUPS", "10000"))
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+AGGS = {
+    "n_rows": ("count", None),
+    "sum_val": ("sum", "val"),
+    "min_val": ("min", "val"),
+    "max_val": ("max", "val"),
+}
+
+
+def build_source(spark, path, n):
+    t = LakeTable.create(spark, path, SRC_SCHEMA, key_cols=["id"], version_col="val")
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(GROUPS)).alias("g"),
+            (F.xxhash64("id", F.lit(7)) % 1000).alias("val"),
+        )
+        .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
+        .withColumn(DEAD_COL, F.lit(False))
+        .withColumn("_bucket", t.bucket_expr())
+    )
+    t.commit(t.write_data_files(df, kind="base"), summary={"epoch_id": 0})
+    return t
+
+
+def apply_delta(spark, t, n, k):
+    """k/2 value updates + k/4 group moves + k/4 deletes, one commit."""
+    ch = spark.range(k).select((F.col("id") * (n // k)).alias("id"))
+    up = ch.select(
+        "id",
+        F.when(F.col("id") % 4 == 1, F.pmod(F.xxhash64("id", F.lit(9)), F.lit(GROUPS)))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(GROUPS)))
+        .alias("g"),
+        (F.xxhash64("id", F.lit(11)) % 1000).alias("val"),
+        F.lit(False).alias(DEAD_COL),
+    ).where(F.col("id") % 4 != 2)
+    dead = ch.where(F.col("id") % 4 == 2).select(
+        "id",
+        F.lit(None).cast("long").alias("g"),
+        F.lit(None).cast("long").alias("val"),
+        F.lit(True).alias(DEAD_COL),
+    )
+    df = (
+        up.unionByName(dead)
+        .withColumn(COMMIT_COL, F.lit(1).cast("long"))
+        .withColumn("_bucket", t.bucket_expr())
+    )
+    t.commit(t.write_data_files(df, kind="delta"), summary={"epoch_id": 1})
+
+
+def full_recompute_wall(spark, src, out_dir):
+    t0 = time.monotonic()
+    mv2 = MaterializedView.create(spark, out_dir, src, ["g"], AGGS)
+    mv2.full_build()
+    mv2.read().foreach(lambda r: None)  # materialize the read too
+    return time.monotonic() - t0
+
+
+def main():
+    spark = get_spark(
+        "bench-matview",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+    )
+    rows = []
+    for n in SIZES:
+        root = tempfile.mkdtemp(prefix=f"tis-mvb-{n}-")
+        src = build_source(spark, os.path.join(root, "src"), n)
+        mv = MaterializedView.create(spark, os.path.join(root, "mv"), src, ["g"], AGGS)
+        mv.full_build()
+        apply_delta(spark, src, n, K)
+
+        t0 = time.monotonic()
+        stats = mv.refresh()
+        refresh_s = time.monotonic() - t0
+        rebuild_s = full_recompute_wall(spark, src, os.path.join(root, "mv2"))
+
+        # correctness: view == recompute (cheap at GROUPS cardinality)
+        got = {tuple(r) for r in mv.read().collect()}
+        want = {
+            tuple(r)
+            for r in src.read()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("val").alias("sum_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+            .collect()
+        }
+        assert got == want, f"view diverged at n={n}"
+        rows.append(
+            {
+                "rows": n,
+                "changed_keys": K,
+                "groups_touched": stats["groups"],
+                "refresh_s": round(refresh_s, 2),
+                "full_rebuild_s": round(rebuild_s, 2),
+                "speedup": round(rebuild_s / refresh_s, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"bench": "matview_refresh_vs_rebuild", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -265,3 +265,36 @@ def test_changes_preimage_requires_classify(replayed):
     ing, marks = replayed
     with pytest.raises(ValueError):
         ing.table.changes(marks[0], classify=False, with_preimage=True)
+
+
+def test_changes_old_reads_are_key_restricted(replayed, monkeypatch):
+    """For trigger-sized windows the classify/preimage old-snapshot reads
+    must go through the key-restricted path (zone-map file pruning), not a
+    full scan — the O(changed keys) contract.  A compaction in the window
+    must fall back to the full read (whole-table key diff)."""
+    from tis_spark.lake.table import LakeTable
+
+    ing, marks = replayed
+    table = ing.table
+    real = LakeTable.read
+    calls = []
+
+    def spy(self, *a, **kw):
+        calls.append(kw)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", spy)
+    calls.clear()
+    n = table.changes(marks[0], snapshot_id=marks[1], with_preimage=True).count()
+    assert n > 0
+    old_reads = [c for c in calls if c.get("snapshot_id") == marks[0]]
+    assert old_reads and all(c.get("key_set") or c.get("pk_set") for c in old_reads), calls
+
+    # over the bounded-collect threshold -> full scan fallback, same rows
+    calls.clear()
+    full = table.changes(
+        marks[0], snapshot_id=marks[1], with_preimage=True, preimage_keys_max=1
+    ).count()
+    assert full == n
+    old_reads = [c for c in calls if c.get("snapshot_id") == marks[0]]
+    assert old_reads and not any(c.get("key_set") or c.get("pk_set") for c in old_reads)

@@ -510,6 +510,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         classify: bool = True,
         with_preimage: bool = False,
+        preimage_keys_max: int = 65536,
     ) -> DataFrame:
         """Snapshot-diff changelog (the Delta-CDF / Iceberg-changelog
         analog): every key whose state differs between ``since_snapshot_id``
@@ -527,7 +528,13 @@ class LakeTable:
         before adding its new one.  Preimages come from ONE read of the old
         snapshot inner-joined to the changed-key set; because the result is
         lazy, a consumer that selects a column subset prunes the old-state
-        parquet scan to those columns.  Rows from before a
+        parquet scan to those columns.  For trigger-sized windows (up to
+        ``preimage_keys_max`` changed keys, bounded collect — the same
+        policy as the merge path's stored lookup) the old read is
+        file-pruned to the changed keys via zone maps (layout == key) or
+        per-file PK blooms (relocating tables), so preimage IO is
+        O(changed keys), not O(table); larger windows fall back to the
+        scan-plus-join, amortized over the batch.  Rows from before a
         column-adding/widening DDL are aligned to the NEW schema (missing
         columns null, narrower types cast), mirroring what
         ``read(snapshot_id=old)`` + the DDL would show.  This is what lets downstream consumers (index
@@ -616,11 +623,54 @@ class LakeTable:
             )
         dead = F.coalesce(F.col(DEAD_COL), F.lit(False))
         need_old_keys = classify or compaction_in_window
-        old_keys = (
-            self.read(snapshot_id=old_snap.snapshot_id).select(*key)
-            if need_old_keys
-            else None
-        )
+
+        # Trigger-sized windows: ONE bounded collect of the changed keys
+        # (the merge path's stored-lookup policy) lets both the classify
+        # key scan and the preimage read prune old-snapshot files by zone
+        # map (layout == key) or PK bloom (relocating tables) — O(changed
+        # keys), not O(table).  A compaction in the window disables it:
+        # its delete fallback is a whole-table key diff by definition.
+        # The restricted read is a superset projection, which is exact
+        # here: every changed key's old row is guaranteed present, and
+        # incidental extra keys never match a join against changed keys.
+        changed_keys = None
+        if (
+            need_old_keys
+            and not compaction_in_window
+            and latest is not None
+            and preimage_keys_max
+            and len(key) == 1
+        ):
+            sample = (
+                latest.select(key[0]).distinct().limit(preimage_keys_max + 1).collect()
+            )
+            if len(sample) <= preimage_keys_max:
+                changed_keys = [r[0] for r in sample]
+
+        def _old_read() -> DataFrame:
+            if changed_keys is None:
+                return self.read(snapshot_id=old_snap.snapshot_id)
+            kcol = key[0]
+            if LakeTable.layout_key(old_snap) != kcol:
+                return self.read(
+                    snapshot_id=old_snap.snapshot_id, pk_set=list(changed_keys)
+                )
+            ktype = next(f.dataType for f in old_snap.schema.fields if f.name == kcol)
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in changed_keys], T.StructType([T.StructField(kcol, ktype)])
+            )
+            bexpr = F.pmod(F.xxhash64(F.col(kcol)), F.lit(old_snap.num_buckets))
+            ks: dict[str, list] = {}
+            for r in kdf.select(bexpr.cast("int").alias("_b"), kcol).collect():
+                ks.setdefault(str(r["_b"]), []).append(r[kcol])
+            return self.read(
+                snapshot_id=old_snap.snapshot_id,
+                buckets=sorted(int(b) for b in ks),
+                key_set=ks,
+            )
+
+        old_state = _old_read() if need_old_keys else None
+        old_keys = old_state.select(*key) if need_old_keys else None
 
         parts: list[DataFrame] = []
         pre_keys: list[DataFrame] = []  # key cols + _pre_epoch + _pre_type
@@ -692,18 +742,19 @@ class LakeTable:
                     )
                 )
         if pre_keys:
-            # one old-snapshot read restricted to the changed keys; old
-            # pre-DDL rows align to the new schema (missing cols null,
-            # narrower types cast) so the feed is schema-stable
+            # preimages ride the same (possibly key-restricted) old-state
+            # read as classification; pre-DDL rows align to the new schema
+            # (missing cols null, narrower types cast) so the feed is
+            # schema-stable
+            pk = reduce(DataFrame.unionByName, pre_keys)
             old_names = {f.name for f in old_snap.schema.fields}
-            old_aligned = self.read(snapshot_id=old_snap.snapshot_id).select(
+            old_aligned = old_state.select(
                 *[
                     (F.col(f.name).cast(f.dataType) if f.name in old_names
                      else F.lit(None).cast(f.dataType)).alias(f.name)
                     for f in cur.fields
                 ]
             )
-            pk = reduce(DataFrame.unionByName, pre_keys)
             parts.append(
                 old_aligned.join(pk, key, "inner").select(
                     *out_fields,
