@@ -43,6 +43,16 @@ SIZES = [int(x) for x in os.environ.get(
 ).split(",")]
 K = int(os.environ.get("SPARK_GRAFT_MV_KEYS", "20000"))
 GROUPS = int(os.environ.get("SPARK_GRAFT_MV_GROUPS", "10000"))
+#: "uniform" spreads changed keys over the whole id space (every base file
+#: is hit -> the preimage read degrades to a column-pruned scan);
+#: "recent" clusters them at the top of the key space (the CDC recency
+#: skew real crawls have -> zone maps prune the preimage read to the few
+#: files holding those keys)
+SKEW = os.environ.get("SPARK_GRAFT_MV_SKEW", "uniform")
+#: "all" = count/sum/min/max (extrema force the retraction recompute, a
+#: full column-pruned source scan); "sums" = count/sum only (pure
+#: delta-maintainable -> no source scan at refresh at all)
+AGG_MODE = os.environ.get("SPARK_GRAFT_MV_AGGS", "all")
 
 SRC_SCHEMA = T.StructType(
     [
@@ -54,9 +64,9 @@ SRC_SCHEMA = T.StructType(
 AGGS = {
     "n_rows": ("count", None),
     "sum_val": ("sum", "val"),
-    "min_val": ("min", "val"),
-    "max_val": ("max", "val"),
 }
+if AGG_MODE == "all":
+    AGGS.update({"min_val": ("min", "val"), "max_val": ("max", "val")})
 
 
 def build_source(spark, path, n):
@@ -78,7 +88,10 @@ def build_source(spark, path, n):
 
 def apply_delta(spark, t, n, k):
     """k/2 value updates + k/4 group moves + k/4 deletes, one commit."""
-    ch = spark.range(k).select((F.col("id") * (n // k)).alias("id"))
+    if SKEW == "recent":
+        ch = spark.range(k).select((F.col("id") + (n - k)).alias("id"))
+    else:
+        ch = spark.range(k).select((F.col("id") * (n // k)).alias("id"))
     up = ch.select(
         "id",
         F.when(F.col("id") % 4 == 1, F.pmod(F.xxhash64("id", F.lit(9)), F.lit(GROUPS)))
@@ -97,8 +110,26 @@ def apply_delta(spark, t, n, k):
         up.unionByName(dead)
         .withColumn(COMMIT_COL, F.lit(1).cast("long"))
         .withColumn("_bucket", t.bucket_expr())
+        .repartition("_bucket")  # one delta file per bucket, not per (task x bucket)
     )
     t.commit(t.write_data_files(df, kind="delta"), summary={"epoch_id": 1})
+
+
+def _bytes_read(spark) -> int:
+    """Total input bytes across completed stages (Spark status REST API) —
+    the honest scale metric on this box: local NVMe + page cache make a
+    64M-row scan ~2 s of wall, which hides the IO asymmetry that dominates
+    on remote storage at 100 TB.  Bytes read do not lie."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    apps = _json.load(urllib.request.urlopen(base + "/api/v1/applications"))
+    app = apps[0]["id"]
+    stages = _json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=COMPLETE")
+    )
+    return sum(st.get("inputBytes", 0) for st in stages)
 
 
 def full_recompute_wall(spark, src, out_dir):
@@ -114,6 +145,7 @@ def main():
         "bench-matview",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "30000"},
     )
     rows = []
     for n in SIZES:
@@ -123,10 +155,13 @@ def main():
         mv.full_build()
         apply_delta(spark, src, n, K)
 
+        b0 = _bytes_read(spark)
         t0 = time.monotonic()
         stats = mv.refresh()
         refresh_s = time.monotonic() - t0
+        b1 = _bytes_read(spark)
         rebuild_s = full_recompute_wall(spark, src, os.path.join(root, "mv2"))
+        b2 = _bytes_read(spark)
 
         # correctness: view == recompute (cheap at GROUPS cardinality)
         got = {tuple(r) for r in mv.read().collect()}
@@ -137,20 +172,24 @@ def main():
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum("val").alias("sum_val"),
-                F.min("val").alias("min_val"),
-                F.max("val").alias("max_val"),
+                *([F.min("val").alias("min_val"), F.max("val").alias("max_val")]
+                  if AGG_MODE == "all" else []),
             )
             .collect()
         }
         assert got == want, f"view diverged at n={n}"
         rows.append(
             {
+                "skew": SKEW,
+                "aggs": AGG_MODE,
                 "rows": n,
                 "changed_keys": K,
                 "groups_touched": stats["groups"],
                 "refresh_s": round(refresh_s, 2),
                 "full_rebuild_s": round(rebuild_s, 2),
                 "speedup": round(rebuild_s / refresh_s, 2),
+                "refresh_read_mb": round((b1 - b0) / 1e6, 1),
+                "rebuild_read_mb": round((b2 - b1) / 1e6, 1),
             }
         )
         print(json.dumps(rows[-1]), flush=True)

@@ -230,3 +230,34 @@ def test_matview_over_cdc_engine_with_mid_window_ddl(spark, tmp_path):
         want = want.astype(object).where(pd.notna(want), None)
         assert got.to_dict("records") == want.to_dict("records")
     changes.unpersist()
+
+
+def test_matview_long_run_with_compaction(spark, tmp_path):
+    """30 refresh epochs with compact_every=10: state equals recompute at
+    every step, the view's file count stays bounded (compaction folds the
+    per-refresh deltas), and the compaction inside later refresh windows
+    does not disturb the watermark chain."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(f"k{i}", "g" + str(i % 5), i) for i in range(40)])
+    mv = MaterializedView.create(spark, str(tmp_path / "mv"), src, ["grp"], AGGS)
+    mv.full_build()
+
+    def file_count():
+        snap = mv.table.current_snapshot()
+        return sum(len(v) for v in snap.files.values())
+
+    counts = []
+    for e in range(1, 31):
+        ups = [(f"k{(e * 7 + j) % 40}", "g" + str((e + j) % 5), e * 100 + j) for j in range(4)]
+        dels = [f"k{(e * 11) % 40}"] if e % 3 == 0 else []
+        ups = [u for u in ups if u[0] not in dels]
+        _apply(spark, src, e, ups, deletes=dels)
+        mv.refresh(compact_every=10)
+        counts.append(file_count())
+        if e % 10 == 0:
+            _assert_view_equals_recompute(mv, src)
+    _assert_view_equals_recompute(mv, src)
+    # compaction keeps growth bounded: after each compact the count drops
+    # back to ~one base generation
+    assert min(counts[10:]) < max(counts[:10]), counts
+    assert counts[-1] < 3 * counts[9], counts

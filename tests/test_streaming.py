@@ -190,3 +190,40 @@ def test_ensure_chunk_mtime_order_unit(tmp_path):
         assert ensure_chunk_mtime_order(str(d)) == -1  # report, never raise
     finally:
         stream_mod.os.utime = orig
+
+
+def test_streaming_views_stay_current(spark, stream_source, tmp_table_dir):
+    """MaterializedViews attached to the stream refresh inside each
+    foreachBatch: after the run + drain the view equals a full recompute,
+    and its watermark sits at the table's current snapshot."""
+    from tis_spark.lake.matview import MaterializedView
+
+    src, rows = stream_source
+    cfg = CdcConfig(fold_parallelism=8, delete_policy="delete")
+    s = StreamingCdc(spark, src, tmp_table_dir, cfg)
+    mv = MaterializedView.create(
+        spark,
+        tmp_table_dir + "_mv",
+        s.ingest.table,
+        ["lang"],
+        {"n_pages": ("count", None), "max_ts": ("max", "warc_ts")},
+    )
+    mv.full_build()  # empty bootstrap; every batch arrives via refresh
+    s.views.append(mv)
+    assert s.run_available(max_files_per_trigger=1)
+    s.drain()
+
+    got = mv.read().orderBy("lang").collect()
+    want = (
+        s.final_state()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.max("warc_ts").alias("max_ts"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert mv._last_source_snapshot() == s.ingest.table.current_snapshot().snapshot_id
+    assert mv.refresh()["up_to_date"]

@@ -132,16 +132,17 @@ class MaterializedView:
 
     # ------------------------------------------------------------- helpers
 
-    def _sum_type(self, out: str) -> T.DataType:
-        return next(f.dataType for f in self.table.current_snapshot().schema.fields if f.name == out)
+    def _types(self) -> dict[str, T.DataType]:
+        return {f.name: f.dataType for f in self.table.current_snapshot().schema.fields}
 
     def _agg_exprs(self) -> list[Column]:
+        types = self._types()
         exprs = [F.count(F.lit(1)).cast("long").alias(N_COL)]
         for out, fn, col in self.aggs:
             if fn == "count":
                 exprs.append(F.count(F.lit(1)).cast("long").alias(out))
             elif fn == "sum":
-                st = self._sum_type(out)
+                st = types[out]
                 exprs.append(F.coalesce(F.sum(F.col(col).cast(st)), F.lit(0).cast(st)).alias(out))
                 exprs.append(F.count(col).cast("long").alias(_nn(out)))
             elif fn == "min":
@@ -188,12 +189,28 @@ class MaterializedView:
 
     # --------------------------------------------------------------- refresh
 
-    def refresh(self) -> dict:
+    def compact(self, max_records_per_file: int = 0) -> None:
+        """Fold the view's accumulated refresh deltas into a fresh sorted
+        base generation (generic lake compaction — a long-running stream
+        appends one delta file set per refresh, and read cost degrades
+        with delta count).  A compaction commit carries no source
+        watermark, so the refresh chain is unaffected."""
+        snap = self.table.current_snapshot()
+        self.table.compact(
+            list(range(snap.num_buckets)),
+            max_records_per_file=max_records_per_file,
+            expected_snapshot_id=snap.snapshot_id,
+        )
+
+    def refresh(self, compact_every: int | None = None) -> dict:
         """Catch the view up to the source's current snapshot from the
         preimage changelog.  Returns maintenance stats.  Exactly-once: the
         commit carries the source snapshot watermark and is fenced on the
         view snapshot this refresh read (a concurrent refresh loses with
-        ``CommitConflict``); re-running after success is a no-op."""
+        ``CommitConflict``); re-running after success is a no-op.
+        ``compact_every=N`` folds the view's deltas into a fresh base
+        every N refresh epochs (file-count hygiene for unbounded
+        streams)."""
         tsnap = self.table.current_snapshot()
         last_src = self._last_source_snapshot()
         src_snap = self.source.current_snapshot()
@@ -201,6 +218,7 @@ class MaterializedView:
             return {"groups": 0, "epoch": None, "up_to_date": True}
         epoch = self._next_epoch()
         gcols = self.group_cols
+        types = self._types()
         ch = self.source.changes(last_src, src_snap.snapshot_id, with_preimage=True)
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -209,7 +227,7 @@ class MaterializedView:
         has_extrema = False
         for out, fn, col in self.aggs:
             if fn == "sum":
-                st = self._sum_type(out)
+                st = types[out]
                 v = F.col(col).cast(st)
                 dexprs.append(
                     F.coalesce(
@@ -275,7 +293,7 @@ class MaterializedView:
                         (F.coalesce(old[N_COL], F.lit(0)) + delta["_d_n"]).alias(out)
                     )
                 elif fn == "sum":
-                    st = self._sum_type(out)
+                    st = types[out]
                     out_cols.append(
                         (F.coalesce(old[out], F.lit(0).cast(st)) + delta[f"_d_{out}"]).alias(out)
                     )
@@ -303,6 +321,8 @@ class MaterializedView:
                 summary={"epoch_id": epoch, "mv_source_snapshot": src_snap.snapshot_id},
                 expected_snapshot_id=tsnap.snapshot_id,
             )
+            if compact_every and epoch % compact_every == 0:
+                self.compact()
             return {"groups": int(n_groups), "epoch": epoch, "up_to_date": False}
         finally:
             delta.unpersist()

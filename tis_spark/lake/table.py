@@ -651,102 +651,38 @@ class LakeTable:
             if changed_keys is None:
                 return self.read(snapshot_id=old_snap.snapshot_id)
             kcol = key[0]
-            if LakeTable.layout_key(old_snap) != kcol:
-                return self.read(
-                    snapshot_id=old_snap.snapshot_id, pk_set=list(changed_keys)
-                )
             ktype = next(f.dataType for f in old_snap.schema.fields if f.name == kcol)
             kdf = self.spark.createDataFrame(
                 [(k,) for k in changed_keys], T.StructType([T.StructField(kcol, ktype)])
             )
-            bexpr = F.pmod(F.xxhash64(F.col(kcol)), F.lit(old_snap.num_buckets))
-            ks: dict[str, list] = {}
-            for r in kdf.select(bexpr.cast("int").alias("_b"), kcol).collect():
-                ks.setdefault(str(r["_b"]), []).append(r[kcol])
-            return self.read(
-                snapshot_id=old_snap.snapshot_id,
-                buckets=sorted(int(b) for b in ks),
-                key_set=ks,
-            )
+            if LakeTable.layout_key(old_snap) != kcol:
+                wide = self.read(snapshot_id=old_snap.snapshot_id, pk_set=list(changed_keys))
+            else:
+                bexpr = F.pmod(F.xxhash64(F.col(kcol)), F.lit(old_snap.num_buckets))
+                ks: dict[str, list] = {}
+                for r in kdf.select(bexpr.cast("int").alias("_b"), kcol).collect():
+                    ks.setdefault(str(r["_b"]), []).append(r[kcol])
+                wide = self.read(
+                    snapshot_id=old_snap.snapshot_id,
+                    buckets=sorted(int(b) for b in ks),
+                    key_set=ks,
+                )
+            # exact-restrict the superset projection against the BROADCAST
+            # key set: downstream classification/preimage joins then see at
+            # most len(changed_keys) old rows and plan as broadcast joins —
+            # without this, joining changed rows against an old side too
+            # big to broadcast shuffles the whole old key set (O(table)
+            # shuffle for a trigger-sized window)
+            return wide.join(F.broadcast(kdf), key, "left_semi")
 
         old_state = _old_read() if need_old_keys else None
         old_keys = old_state.select(*key) if need_old_keys else None
 
-        parts: list[DataFrame] = []
-        pre_keys: list[DataFrame] = []  # key cols + _pre_epoch + _pre_type
-        if latest is not None:
-            ups = latest.filter(~dead)
-            if classify:
-                parts.append(
-                    ups.join(old_keys, key, "left_anti")
-                    .select(*out_fields, ctype("insert").alias("_change_type"),
-                            F.col(COMMIT_COL).alias("_change_epoch"))
-                )
-                upd = ups.join(old_keys, key, "left_semi")
-                upd_type = "update_postimage" if with_preimage else "update"
-                parts.append(
-                    upd.select(*out_fields, ctype(upd_type).alias("_change_type"),
-                               F.col(COMMIT_COL).alias("_change_epoch"))
-                )
-                if with_preimage:
-                    pre_keys.append(
-                        upd.select(*key, F.col(COMMIT_COL).alias("_pre_epoch"),
-                                   ctype("update_preimage").alias("_pre_type"))
-                    )
-            else:
-                parts.append(
-                    ups.select(*out_fields, ctype("upsert").alias("_change_type"),
-                               F.col(COMMIT_COL).alias("_change_epoch"))
-                )
-        if compaction_in_window:
-            new_keys = self.read(snapshot_id=new_snap.snapshot_id).select(*key)
-            gone = old_keys.join(new_keys, key, "left_anti")
-            if with_preimage:
-                pre_keys.append(
-                    gone.select(*key, F.lit(None).cast("long").alias("_pre_epoch"),
-                                ctype("delete").alias("_pre_type"))
-                )
-            else:
-                parts.append(
-                    gone.select(
-                        *[
-                            F.col(f.name) if f.name in key
-                            else F.lit(None).cast(f.dataType).alias(f.name)
-                            for f in cur.fields
-                        ],
-                        ctype("delete").alias("_change_type"),
-                        F.lit(None).cast("long").alias("_change_epoch"),
-                    )
-                )
-        elif latest is not None:
-            tomb = latest.filter(dead)
-            if classify:
-                # the engine only tombstones keys it has seen, but the
-                # semi-join keeps the contract independent of that invariant
-                tomb = tomb.join(old_keys, key, "left_semi")
-            if with_preimage:
-                pre_keys.append(
-                    tomb.select(*key, F.col(COMMIT_COL).alias("_pre_epoch"),
-                                ctype("delete").alias("_pre_type"))
-                )
-            else:
-                parts.append(
-                    tomb.select(
-                        *[
-                            F.col(f.name) if f.name in key
-                            else F.lit(None).cast(f.dataType).alias(f.name)
-                            for f in cur.fields
-                        ],
-                        ctype("delete").alias("_change_type"),
-                        F.col(COMMIT_COL).alias("_change_epoch"),
-                    )
-                )
-        if pre_keys:
-            # preimages ride the same (possibly key-restricted) old-state
-            # read as classification; pre-DDL rows align to the new schema
-            # (missing cols null, narrower types cast) so the feed is
-            # schema-stable
-            pk = reduce(DataFrame.unionByName, pre_keys)
+        old_aligned = None
+        if old_state is not None:
+            # old rows aligned to the NEW schema (missing cols null,
+            # narrower types cast) so classification and preimages stay
+            # schema-stable across a DDL inside the window
             old_names = {f.name for f in old_snap.schema.fields}
             old_aligned = old_state.select(
                 *[
@@ -755,13 +691,105 @@ class LakeTable:
                     for f in cur.fields
                 ]
             )
+
+        def _null_payload(epoch) -> list:
+            return [
+                F.col(f.name) if f.name in key
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in cur.fields
+            ] + [ctype("delete").alias("_change_type"), epoch]
+
+        parts: list[DataFrame] = []
+        if latest is not None and classify:
+            # ONE left join against the old state both classifies (insert
+            # vs update, tombstone confirmation) AND carries the preimage
+            # payload: the old side appears once in the plan, so its scan
+            # is executed once and shared by every output branch — as a
+            # reused broadcast when the changed-key set was bounded (at
+            # most preimage_keys_max rows), as a reused shuffle exchange
+            # otherwise.  Joining each branch separately would re-scan the
+            # old snapshot per branch (3-4 O(table) scans per call).
+            payload = [c for c in out_fields if c not in key]
+            old_side = old_aligned.select(
+                *key,
+                *[F.col(c).alias(f"_o_{c}") for c in payload],
+                F.lit(True).alias("_o_present"),
+            )
+            if changed_keys is not None:
+                old_side = F.broadcast(old_side)
+            lj = latest.join(old_side, key, "left")
+            present = F.coalesce(F.col("_o_present"), F.lit(False))
+            epoch_col = F.col(COMMIT_COL).alias("_change_epoch")
+            pre_fields = [
+                F.col(c) if c in key else F.col(f"_o_{c}").alias(c)
+                for c in out_fields
+            ]
+            ups = lj.filter(~dead)
             parts.append(
-                old_aligned.join(pk, key, "inner").select(
-                    *out_fields,
-                    F.col("_pre_type").alias("_change_type"),
-                    F.col("_pre_epoch").alias("_change_epoch"),
+                ups.filter(~present).select(
+                    *out_fields, ctype("insert").alias("_change_type"), epoch_col
                 )
             )
+            upd_type = "update_postimage" if with_preimage else "update"
+            parts.append(
+                ups.filter(present).select(
+                    *out_fields, ctype(upd_type).alias("_change_type"), epoch_col
+                )
+            )
+            if with_preimage:
+                parts.append(
+                    ups.filter(present).select(
+                        *pre_fields,
+                        ctype("update_preimage").alias("_change_type"),
+                        epoch_col,
+                    )
+                )
+            if not compaction_in_window:
+                # the engine only tombstones keys it has seen, but the
+                # presence check keeps the contract independent of that
+                # invariant
+                tomb = lj.filter(dead & present)
+                if with_preimage:
+                    parts.append(
+                        tomb.select(
+                            *pre_fields,
+                            ctype("delete").alias("_change_type"),
+                            epoch_col,
+                        )
+                    )
+                else:
+                    parts.append(tomb.select(*_null_payload(epoch_col)))
+        elif latest is not None:
+            ups = latest.filter(~dead)
+            parts.append(
+                ups.select(*out_fields, ctype("upsert").alias("_change_type"),
+                           F.col(COMMIT_COL).alias("_change_epoch"))
+            )
+            if not compaction_in_window:
+                tomb = latest.filter(dead)
+                parts.append(
+                    tomb.select(
+                        *_null_payload(F.col(COMMIT_COL).alias("_change_epoch"))
+                    )
+                )
+        if compaction_in_window:
+            # folded-away tombstones can no longer witness deletes: fall
+            # back to the whole-table key diff (changed_keys is None here,
+            # so old_keys/old_aligned are full reads by construction)
+            new_keys = self.read(snapshot_id=new_snap.snapshot_id).select(*key)
+            gone = old_keys.join(new_keys, key, "left_anti")
+            if with_preimage:
+                parts.append(
+                    old_aligned.join(gone, key, "left_semi").select(
+                        *out_fields,
+                        ctype("delete").alias("_change_type"),
+                        F.lit(None).cast("long").alias("_change_epoch"),
+                    )
+                )
+            else:
+                parts.append(
+                    gone.select(*_null_payload(F.lit(None).cast("long").alias("_change_epoch")))
+                )
         if not parts:
             return empty
         return reduce(DataFrame.unionByName, parts)

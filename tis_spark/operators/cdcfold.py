@@ -173,8 +173,10 @@ def matview_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_seq = changes.agg(F.max("seq")).first()[0]
     # replay() derives epoch ids from seq // epoch_size, so the split must
     # sit ON an epoch boundary — otherwise the second replay re-delivers
-    # the straddling epoch and exactly-once fencing (correctly) drops it
-    ep = 2500 if max_seq >= 5000 else 500
+    # the straddling epoch and exactly-once fencing (correctly) drops it.
+    # Epoch size scales with the stream (~8 epochs end-to-end): per-epoch
+    # fixed cost (planning + commit) would otherwise dominate at sf0.1.
+    ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
     half = ep * max(1, max_seq // (2 * ep))
     cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
     ingest = CdcIngest(spark, table_dir, cfg)

@@ -153,6 +153,7 @@ class StreamingCdc:
         checkpoint_dir: str | None = None,
         kafka: dict | None = None,
         wire_format: str | None = None,
+        views: list | None = None,
     ):
         if wire_format not in (None, "kafka"):
             raise ValueError(f"wire_format must be None or 'kafka', got {wire_format!r}")
@@ -162,6 +163,17 @@ class StreamingCdc:
         self.kafka = kafka
         self.wire_format = wire_format
         self.ingest = CdcIngest(spark, table_path, cfg)
+        #: MaterializedView instances over this table, refreshed after each
+        #: micro-batch commit.  Safe under re-delivery and crash-between:
+        #: refreshes are watermark-driven (source-snapshot summary) and
+        #: fenced, so a missed refresh is caught up by the next batch and a
+        #: duplicate is a no-op — the views ride the ingest's exactly-once.
+        self.views = list(views or [])
+
+    def _epoch(self, df: DataFrame, batch_id: int) -> None:
+        self.ingest.process_epoch(df, batch_id)
+        for v in self.views:
+            v.refresh()
 
     def _make_stream(self, max_files_per_trigger: int) -> DataFrame:
         if self.kafka is None:
@@ -198,9 +210,7 @@ class StreamingCdc:
         Returns True if the query terminated on its own (all data done)."""
         stream = self._make_stream(max_files_per_trigger)
         q = (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: self.ingest.process_epoch(df, bid)
-            )
+            stream.writeStream.foreachBatch(self._epoch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
@@ -216,7 +226,12 @@ class StreamingCdc:
         of a bounded replay; unbounded streams just keep the buffer)."""
         last = self.ingest.table.last_epoch_id()
         empty = self.spark.createDataFrame([], CHANGE_SCHEMA)
-        return self.ingest.process_epoch(empty, (last if last is not None else -1) + 1, final_flush=True)
+        out = self.ingest.process_epoch(
+            empty, (last if last is not None else -1) + 1, final_flush=True
+        )
+        for v in self.views:
+            v.refresh()
+        return out
 
     def final_state(self) -> DataFrame:
         return self.ingest.final_state()
