@@ -47,6 +47,7 @@ _PRIORITY = [
     "wide_row_totalpay_shape",
     "wide_sql_node",
     "fk_chain_routing",
+    "matview_group_rollup",
     # temporal joins
     "asof_join_prior_view",
     "range_join_pair_counts",
@@ -57,10 +58,9 @@ _PRIORITY = [
     "decontaminate_ngram_overlap",
     "tfidf_top_terms",
     "vocab_topk",
-    # grouping analytics (rollup/cube/grouping-sets)
+    # grouping analytics (rollup/cube; grouping-sets past cap, pytest-pinned)
     "rollup_returnflag_status",
     "cube_returnflag_status",
-    "grouping_sets_flag_and_status",
     # sync + index sinks, sketches
     "datax_sync_roundtrip",
     "index_search_topk",
@@ -77,15 +77,16 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_blocked",
-    "ann_lsh_buckets",
-    "text_token_count",
     "text_quality_score",
     "text_lang_id",
     "text_repetition_ratio",
     "gopher_quality_filter",
     "length_decile_stats",
     "text_pii_scrub",
-    "multimodal_binary_meta",
+    # web-corpus curation (r4 flagship surface, promoted per VERDICT r4 #1)
+    "url_canonicalize",
+    "domain_cap_topk",
+    "dup_span_stats",
     "multimodal_frame_sample",
     # relational core (TPC-H shapes, joins, aggregations, set ops)
     "q1_pricing_summary",
