@@ -298,3 +298,75 @@ def test_changes_old_reads_are_key_restricted(replayed, monkeypatch):
     assert full == n
     old_reads = [c for c in calls if c.get("snapshot_id") == marks[0]]
     assert old_reads and not any(c.get("key_set") or c.get("pk_set") for c in old_reads)
+
+
+def test_changes_composite_key_fast_path(spark, tmp_path, monkeypatch):
+    """Composite-key tables ride the bounded-collect fast path too (r4's
+    'What's missing #4'): files are pruned by the distinct leading-key
+    values, exactness comes from the full-key semi-join.  Verified against
+    the time-travel state diff AND by spying that the old read was
+    key-restricted."""
+    from pyspark.sql import types as T
+
+    from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("section", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["url", "section"], version_col="val"
+    )
+
+    def commit(rows, epoch, kind="delta"):
+        df = (
+            spark.createDataFrame(
+                [(u, s, v, d) for u, s, v, d in rows],
+                T.StructType(list(schema.fields) + [T.StructField(DEAD_COL, T.BooleanType())]),
+            )
+            .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+            .withColumn("_bucket", t.bucket_expr())
+        )
+        t.commit(t.write_data_files(df, kind=kind), summary={"epoch_id": epoch})
+
+    commit(
+        [(f"u{i}", sec, i, False) for i in range(20) for sec in ("a", "b")],
+        0,
+    )
+    s0 = t.current_snapshot().snapshot_id
+    # updates touch one section of a url, not the other; plus a delete and
+    # an insert — the composite key must keep the sibling section intact
+    commit(
+        [("u3", "a", 99, False), ("u7", "b", 77, False), ("u5", "a", None, True),
+         ("u20", "a", 1, False)],
+        1,
+    )
+    s1 = t.current_snapshot().snapshot_id
+
+    real = LakeTable.read
+    calls = []
+
+    def spy(self, *a, **kw):
+        calls.append(kw)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", spy)
+    cdf = t.changes(s0, snapshot_id=s1, with_preimage=True)
+    got = {
+        (r["url"], r["section"], r["_change_type"]): r["val"] for r in cdf.collect()
+    }
+    old_reads = [c for c in calls if c.get("snapshot_id") == s0]
+    assert old_reads and all(c.get("key_set") or c.get("pk_set") for c in old_reads), calls
+    monkeypatch.undo()
+
+    assert got[("u3", "a", "update_preimage")] == 3
+    assert got[("u3", "a", "update_postimage")] == 99
+    assert got[("u7", "b", "update_preimage")] == 7
+    assert got[("u7", "b", "update_postimage")] == 77
+    assert got[("u5", "a", "delete")] == 5  # preimage carries old values
+    assert got[("u20", "a", "insert")] == 1
+    assert ("u3", "b", "update_postimage") not in got  # sibling untouched
+    assert len(got) == 6  # 2 updates x (pre+post) + 1 delete + 1 insert

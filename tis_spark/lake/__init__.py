@@ -1,1 +1,2 @@
+from tis_spark.lake.replica import TableReplica  # noqa: F401
 from tis_spark.lake.table import CommitConflict, LakeTable, Snapshot  # noqa: F401

@@ -24,15 +24,28 @@ Maintenance algebra per group g:
 * ``min`` / ``max``: delta-maintainable while a group only GAINS rows
   (``least(old, batch_min)``); a retraction (delete / update_preimage)
   can remove the extremum, so retracted groups are recomputed from the
-  source snapshot being caught up to, restricted to exactly those groups
-  (null-safe semi-join; O(retracted groups' rows), column-pruned).
+  source snapshot being caught up to.  A refresh with NO retractions
+  (the insert-only common case) skips the recompute entirely.  The
+  recompute read is restricted to the retracted groups: when the group
+  column IS the source's physical layout key the read is file-pruned by
+  bucket + zone map (O(retracted groups) IO — the per-domain rollup
+  over a domain-laid-out table case); when it is the source primary key
+  on a relocating table, per-file PK blooms prune; otherwise the exact
+  group set is pushed down as an ``isin`` parquet filter but every base
+  file may still be *opened* — O(table) IO column-pruned, O(retracted
+  groups) shuffle/agg.  min/max under deletion is fundamentally not
+  delta-maintainable without per-(group, value) auxiliary state; the
+  recompute-retracted-groups fallback is the standard lake-native trade.
+* ``avg`` is maintained as (double sum, non-null count) and derived at
+  ``read()`` — exactly delta-maintainable like sum.
 * a group whose maintained row count reaches 0 is tombstoned; a later
   insert resurrects it through normal delta reconciliation.
 
 At 10^10-event scale a refresh therefore shuffles the changelog
-(O(changed keys)) plus the retracted-group recompute — never the full
-source and never the full view; untouched view buckets are not even
-opened (bucket-restricted read).
+(O(changed keys)) plus, only when a min/max view saw retractions, the
+retracted-group recompute (file-pruned to O(groups) IO when the group is
+the layout key) — never the full view; untouched view buckets are not
+even opened (bucket-restricted read).
 """
 
 from __future__ import annotations
@@ -51,7 +64,11 @@ from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
 N_COL = "_mv_n"  # maintained group cardinality; also the view's version col
 _SPEC_FILE = "mv.json"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-AGG_FNS = {"count", "sum", "min", "max"}
+AGG_FNS = {"count", "sum", "min", "max", "avg"}
+#: bounded-collect cap for the retracted-group set (same policy as the
+#: changelog's preimage_keys_max): within the cap the min/max recompute
+#: read is key-restricted; above it, the column-pruned scan-plus-semi-join
+RETRACTED_GROUPS_MAX = 65536
 
 
 def _nn(out: str) -> str:
@@ -90,9 +107,10 @@ class MaterializedView:
         num_buckets: int = 16,
     ) -> "MaterializedView":
         """Define the view (no data yet — call ``full_build``).  ``aggs``
-        maps output column -> (fn, source column); fn in {count, sum, min,
-        max} (count takes no column).  Aggregated columns must exist in
-        the source schema at create time; avg is sum/count downstream."""
+        maps output column -> (fn, source column); fn in {avg, count, max,
+        min, sum} (count takes no column).  Aggregated columns must exist
+        in the source schema at create time.  ``avg`` is stored as its
+        (double sum, non-null count) pair and derived at ``read()``."""
         src_schema = source.current_snapshot().schema
         src_fields = {f.name: f for f in src_schema.fields}
         for c in group_cols:
@@ -101,7 +119,13 @@ class MaterializedView:
         fields.append(T.StructField(N_COL, T.LongType()))
         norm: list[tuple[str, str, str | None]] = []
         for out, (fn, col) in aggs.items():
-            assert fn in AGG_FNS, f"unsupported agg fn {fn!r}"
+            if fn not in AGG_FNS:
+                raise ValueError(
+                    f"unsupported agg fn {fn!r} for output {out!r}; "
+                    f"supported: {sorted(AGG_FNS)} (avg is maintained as "
+                    "sum+count; other aggs need per-group auxiliary state "
+                    "and are not delta-maintainable here)"
+                )
             assert out not in {f.name for f in fields}, f"duplicate output {out!r}"
             if fn == "count":
                 fields.append(T.StructField(out, T.LongType()))
@@ -109,8 +133,12 @@ class MaterializedView:
                 continue
             assert col in src_fields, f"agg col {col!r} not in source schema"
             st = src_fields[col].dataType
-            if fn == "sum":
-                ot = T.LongType() if isinstance(st, _INTEGRAL) else T.DoubleType()
+            if fn in ("sum", "avg"):
+                ot = (
+                    T.DoubleType()
+                    if fn == "avg" or not isinstance(st, _INTEGRAL)
+                    else T.LongType()
+                )
                 fields.append(T.StructField(out, ot))
                 fields.append(T.StructField(_nn(out), T.LongType()))
             else:
@@ -141,7 +169,7 @@ class MaterializedView:
         for out, fn, col in self.aggs:
             if fn == "count":
                 exprs.append(F.count(F.lit(1)).cast("long").alias(out))
-            elif fn == "sum":
+            elif fn in ("sum", "avg"):
                 st = types[out]
                 exprs.append(F.coalesce(F.sum(F.col(col).cast(st)), F.lit(0).cast(st)).alias(out))
                 exprs.append(F.count(col).cast("long").alias(_nn(out)))
@@ -150,6 +178,44 @@ class MaterializedView:
             else:
                 exprs.append(F.max(col).alias(out))
         return exprs
+
+    def _check_schema_drift(self, src_snap) -> None:
+        """Fail loudly when a source DDL has widened a column the view
+        aggregates (or groups) on: the view's physical schema is frozen at
+        create(), so a refresh would silently cast the wider values back
+        down (int->long drift = overflow/truncation with no error).  The
+        fix is to recreate the view (or evolve it explicitly) — never to
+        truncate quietly."""
+        src_fields = {f.name: f.dataType for f in src_snap.schema.fields}
+        vtypes = self._types()
+        drift = []
+        for c in self.group_cols:
+            if src_fields.get(c) != vtypes[c]:
+                drift.append((c, vtypes[c], src_fields.get(c)))
+        for out, fn, col in self.aggs:
+            if col is None:
+                continue
+            st = src_fields.get(col)
+            if fn in ("sum", "avg"):
+                want = (
+                    T.DoubleType()
+                    if fn == "avg" or not isinstance(st, _INTEGRAL)
+                    else T.LongType()
+                )
+            else:
+                want = st
+            if want != vtypes[out]:
+                drift.append((col, vtypes[out], st))
+        if drift:
+            detail = ", ".join(
+                f"{c!r}: view stores {v.simpleString()}, source now {s.simpleString() if s else 'MISSING'}"
+                for c, v, s in drift
+            )
+            raise ValueError(
+                "source schema drifted under the view since create() — "
+                f"refresh would silently narrow values ({detail}); recreate "
+                "the view against the new source schema"
+            )
 
     def _last_source_snapshot(self) -> int:
         for s in reversed(self.table.history()):
@@ -163,6 +229,75 @@ class MaterializedView:
                 return int(s.summary["epoch_id"]) + 1
         return 0
 
+    def _recompute_read(self, src_snap, retr: DataFrame, n_retracted: int) -> DataFrame:
+        """Source rows feeding the min/max retraction recompute, restricted
+        as far as the physics allow.  Always a SUPERSET of the retracted
+        groups' rows (the caller's null-safe semi-join makes it exact):
+
+        * group col == source *layout key* (the per-domain rollup over a
+          domain-laid-out table): bucket + zone-map file pruning via the
+          point-lookup read path — O(retracted groups) files opened;
+        * group col == source *primary key* on a relocating table:
+          per-file PK bloom pruning;
+        * anything else: the exact retracted set becomes an ``isin``
+          parquet pushdown filter (cuts rows before the shuffle) but every
+          base file may still be opened — column-pruned O(table) IO,
+          O(retracted groups) shuffle;
+        * more than RETRACTED_GROUPS_MAX retracted groups, or multi-column
+          groups with nulls: the plain scan-plus-semi-join fallback.
+
+        The bounded collect is over ``retr`` (already persisted via the
+        delta plan), so it costs no extra source IO."""
+        from tis_spark.lake.table import LakeTable as _LT
+
+        gcols = self.group_cols
+        full = self.source.read(snapshot_id=src_snap.snapshot_id)
+        if n_retracted > RETRACTED_GROUPS_MAX:
+            return full
+        # retr rows are already one-per-group (delta is grouped on gcols)
+        sample = retr.limit(RETRACTED_GROUPS_MAX + 1).collect()
+        if len(sample) > RETRACTED_GROUPS_MAX:
+            return full
+        if len(gcols) == 1:
+            g = gcols[0]
+            vals = [r[0] for r in sample]
+            nn_vals = [v for v in vals if v is not None]
+            has_null = len(nn_vals) < len(vals)
+            if not has_null and nn_vals:
+                if g == _LT.layout_key(src_snap):
+                    gt = next(f.dataType for f in src_snap.schema.fields if f.name == g)
+                    kdf = self.spark.createDataFrame(
+                        [(v,) for v in nn_vals], T.StructType([T.StructField(g, gt)])
+                    )
+                    bexpr = F.pmod(F.xxhash64(F.col(g)), F.lit(src_snap.num_buckets))
+                    ks: dict[str, list] = {}
+                    for r in kdf.select(bexpr.cast("int").alias("_b"), g).collect():
+                        ks.setdefault(str(r["_b"]), []).append(r[g])
+                    return self.source.read(
+                        snapshot_id=src_snap.snapshot_id,
+                        buckets=sorted(int(b) for b in ks),
+                        key_set=ks,
+                    )
+                if g == src_snap.key_cols[0] and src_snap.layout_col:
+                    return self.source.read(
+                        snapshot_id=src_snap.snapshot_id, pk_set=nn_vals
+                    )
+            cond = F.col(g).isin(nn_vals) if nn_vals else F.lit(False)
+            if has_null:
+                cond = cond | F.col(g).isNull()
+            return full.filter(cond)
+        # multi-column groups: per-column isin pushdown (superset; nulls
+        # force that column's term open)
+        conds = []
+        for i, g in enumerate(gcols):
+            vals = {r[i] for r in sample}
+            nn_vals = [v for v in vals if v is not None]
+            c = F.col(g).isin(nn_vals) if nn_vals else F.lit(False)
+            if None in vals:
+                c = c | F.col(g).isNull()
+            conds.append(c)
+        return full.filter(reduce(Column.__and__, conds))
+
     # ------------------------------------------------------------ full build
 
     def full_build(self) -> None:
@@ -170,6 +305,7 @@ class MaterializedView:
         rows stamp ``_commit = -1`` per lake convention."""
         tsnap = self.table.current_snapshot()
         src_snap = self.source.current_snapshot()
+        self._check_schema_drift(src_snap)
         agg = (
             self.source.read(snapshot_id=src_snap.snapshot_id)
             .groupBy(*self.group_cols)
@@ -216,6 +352,7 @@ class MaterializedView:
         src_snap = self.source.current_snapshot()
         if src_snap.snapshot_id <= last_src:
             return {"groups": 0, "epoch": None, "up_to_date": True}
+        self._check_schema_drift(src_snap)
         epoch = self._next_epoch()
         gcols = self.group_cols
         types = self._types()
@@ -226,7 +363,7 @@ class MaterializedView:
         dexprs = [F.sum(sign).cast("long").alias("_d_n")]
         has_extrema = False
         for out, fn, col in self.aggs:
-            if fn == "sum":
+            if fn in ("sum", "avg"):
                 st = types[out]
                 v = F.col(col).cast(st)
                 dexprs.append(
@@ -248,9 +385,15 @@ class MaterializedView:
         dexprs.append(F.max(F.when(sign < 0, F.lit(1)).otherwise(F.lit(0))).alias("_retr"))
         delta = ch.groupBy(*gcols).agg(*dexprs).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            # touched buckets + group count: ONE action over <= num_buckets rows
+            # touched buckets + group count + retraction presence: ONE
+            # action over <= num_buckets rows
             binfo = (
-                delta.groupBy(self.table.bucket_expr().alias("_b")).count().collect()
+                delta.groupBy(self.table.bucket_expr().alias("_b"))
+                .agg(
+                    F.count(F.lit(1)).alias("count"),
+                    F.sum("_retr").cast("long").alias("_retr_n"),
+                )
+                .collect()
             )
             if not binfo:
                 # metadata-only watermark advance (e.g. only a compaction
@@ -263,16 +406,20 @@ class MaterializedView:
                 return {"groups": 0, "epoch": epoch, "up_to_date": False}
             touched = sorted(int(r["_b"]) for r in binfo)
             n_groups = sum(r["count"] for r in binfo)
+            n_retracted = sum(r["_retr_n"] or 0 for r in binfo)
 
             old = self.table.read(buckets=touched)
             merged = delta.join(old, _null_safe_on(delta, old, gcols), "left")
             rec = None
-            if has_extrema:
+            if has_extrema and n_retracted > 0:
                 # retracted groups: the stored extremum may have left —
                 # recompute them from the snapshot being caught up to,
-                # restricted to exactly those groups (column-pruned scan)
+                # restricted to exactly those groups.  The read is
+                # file-pruned when the group is the source's layout key /
+                # PK (see _recompute_read); insert-only refreshes never
+                # reach here at all.
                 retr = delta.filter(F.col("_retr") == 1).select(*gcols)
-                src_rows = self.source.read(snapshot_id=src_snap.snapshot_id)
+                src_rows = self._recompute_read(src_snap, retr, n_retracted)
                 rex = [
                     (F.min(col) if fn == "min" else F.max(col)).alias(f"_rec_{out}")
                     for out, fn, col in self.aggs
@@ -292,7 +439,7 @@ class MaterializedView:
                     out_cols.append(
                         (F.coalesce(old[N_COL], F.lit(0)) + delta["_d_n"]).alias(out)
                     )
-                elif fn == "sum":
+                elif fn in ("sum", "avg"):
                     st = types[out]
                     out_cols.append(
                         (F.coalesce(old[out], F.lit(0).cast(st)) + delta[f"_d_{out}"]).alias(out)
@@ -306,9 +453,15 @@ class MaterializedView:
                         if fn == "min"
                         else F.greatest(old[out], delta[f"_ins_{out}"])
                     )
-                    out_cols.append(
-                        F.when(delta["_retr"] == 1, rec[f"_rec_{out}"]).otherwise(gained).alias(out)
-                    )
+                    if rec is None:
+                        # no retraction this refresh: pure gain path
+                        out_cols.append(gained.alias(out))
+                    else:
+                        out_cols.append(
+                            F.when(delta["_retr"] == 1, rec[f"_rec_{out}"])
+                            .otherwise(gained)
+                            .alias(out)
+                        )
             rows = merged.select(*out_cols)
             stamped = (
                 rows.withColumn("_bucket", self.table.bucket_expr())
@@ -340,6 +493,10 @@ class MaterializedView:
         for out, fn, col in self.aggs:
             if fn == "sum":
                 cols.append(F.when(F.col(_nn(out)) > 0, F.col(out)).alias(out))
+            elif fn == "avg":
+                cols.append(
+                    F.when(F.col(_nn(out)) > 0, F.col(out) / F.col(_nn(out))).alias(out)
+                )
             else:
                 cols.append(F.col(out))
         return df.select(*cols)

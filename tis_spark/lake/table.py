@@ -67,6 +67,21 @@ DATA_DIR = "data"
 # thing that OOMs.
 BROADCAST_DELTA_MAX_BYTES = 64 << 20
 
+# Gate the changelog's bounded changed-key collect on the window's on-disk
+# size: candidate files beyond this almost certainly hold more than
+# preimage_keys_max distinct keys, so the sample would fall back anyway —
+# skip the extra evaluation of the `latest` window plan for windows that
+# are clearly batch-sized, and pay it only where it can win (ADVICE r4).
+CHANGES_SAMPLE_MAX_BYTES = 1 << 30
+
+# Force-broadcast the preimage old side only while the files feeding it
+# stay under this compressed size: in with_preimage mode the old side
+# carries every payload column (html blobs included), so a key-count-only
+# gate (preimage_keys_max) could ship GBs past autoBroadcastJoinThreshold
+# to every executor (ADVICE r4).  Compressed parquet bytes of the files
+# the pruned old read actually opens are the honest upper bound.
+PREIMAGE_BROADCAST_MAX_BYTES = 64 << 20
+
 # Physical bookkeeping columns present in every data file, on top of the
 # logical schema: the commit stamp deciding LWW between file generations,
 # and the tombstone marker (delete encoding under merge-on-read).
@@ -627,41 +642,56 @@ class LakeTable:
         # Trigger-sized windows: ONE bounded collect of the changed keys
         # (the merge path's stored-lookup policy) lets both the classify
         # key scan and the preimage read prune old-snapshot files by zone
-        # map (layout == key) or PK bloom (relocating tables) — O(changed
-        # keys), not O(table).  A compaction in the window disables it:
-        # its delete fallback is a whole-table key diff by definition.
-        # The restricted read is a superset projection, which is exact
-        # here: every changed key's old row is guaranteed present, and
+        # map (layout == leading key) or PK bloom (relocating tables) —
+        # O(changed keys), not O(table).  Composite keys ride the same
+        # path: files are pruned by the distinct leading-key values and
+        # the exact restriction is the full-key semi-join below.  A
+        # compaction in the window disables it: its delete fallback is a
+        # whole-table key diff by definition; a window whose candidate
+        # files exceed CHANGES_SAMPLE_MAX_BYTES skips the sample outright
+        # (it would overflow the cap and fall back anyway).  The
+        # restricted read is a superset projection, which is exact here:
+        # every changed key's old row is guaranteed present, and
         # incidental extra keys never match a join against changed keys.
-        changed_keys = None
+        changed_keys = None  # list[Row] over the full key tuple
         if (
             need_old_keys
             and not compaction_in_window
             and latest is not None
             and preimage_keys_max
-            and len(key) == 1
+            and self._entries_bytes(cand) <= CHANGES_SAMPLE_MAX_BYTES
         ):
-            sample = (
-                latest.select(key[0]).distinct().limit(preimage_keys_max + 1).collect()
-            )
+            # latest is one row per key by construction — no distinct
+            sample = latest.select(*key).limit(preimage_keys_max + 1).collect()
             if len(sample) <= preimage_keys_max:
-                changed_keys = [r[0] for r in sample]
+                changed_keys = sample
 
         def _old_read() -> DataFrame:
             if changed_keys is None:
                 return self.read(snapshot_id=old_snap.snapshot_id)
-            kcol = key[0]
-            ktype = next(f.dataType for f in old_snap.schema.fields if f.name == kcol)
+            ktypes = {f.name: f.dataType for f in old_snap.schema.fields}
             kdf = self.spark.createDataFrame(
-                [(k,) for k in changed_keys], T.StructType([T.StructField(kcol, ktype)])
+                [tuple(r[c] for c in key) for r in changed_keys],
+                T.StructType([T.StructField(c, ktypes[c]) for c in key]),
             )
-            if LakeTable.layout_key(old_snap) != kcol:
-                wide = self.read(snapshot_id=old_snap.snapshot_id, pk_set=list(changed_keys))
+            # file pruning keys off the physical clustering column: zone
+            # maps when the leading key IS the layout key, per-file PK
+            # blooms otherwise (relocating tables)
+            k0 = key[0]
+            k0_vals = list({r[k0] for r in changed_keys})
+            if any(v is None for v in k0_vals):
+                wide = self.read(snapshot_id=old_snap.snapshot_id)
+            elif LakeTable.layout_key(old_snap) != k0:
+                wide = self.read(snapshot_id=old_snap.snapshot_id, pk_set=k0_vals)
             else:
-                bexpr = F.pmod(F.xxhash64(F.col(kcol)), F.lit(old_snap.num_buckets))
+                k0df = self.spark.createDataFrame(
+                    [(v,) for v in k0_vals],
+                    T.StructType([T.StructField(k0, ktypes[k0])]),
+                )
+                bexpr = F.pmod(F.xxhash64(F.col(k0)), F.lit(old_snap.num_buckets))
                 ks: dict[str, list] = {}
-                for r in kdf.select(bexpr.cast("int").alias("_b"), kcol).collect():
-                    ks.setdefault(str(r["_b"]), []).append(r[kcol])
+                for r in k0df.select(bexpr.cast("int").alias("_b"), k0).collect():
+                    ks.setdefault(str(r["_b"]), []).append(r[k0])
                 wide = self.read(
                     snapshot_id=old_snap.snapshot_id,
                     buckets=sorted(int(b) for b in ks),
@@ -716,7 +746,25 @@ class LakeTable:
                 F.lit(True).alias("_o_present"),
             )
             if changed_keys is not None:
-                old_side = F.broadcast(old_side)
+                if not with_preimage:
+                    # Catalyst prunes the unused _o_* payload through the
+                    # join, so the broadcast side is keys + one boolean —
+                    # bounded by preimage_keys_max rows, always safe
+                    old_side = F.broadcast(old_side)
+                else:
+                    # preimage rows carry the full payload (html blobs):
+                    # hint the broadcast only while the files the pruned
+                    # old read opens stay small on disk (size-guarded,
+                    # not just key-count-guarded)
+                    try:
+                        est = sum(
+                            os.path.getsize(_norm_path(f))
+                            for f in old_state.inputFiles()
+                        )
+                    except OSError:
+                        est = None
+                    if est is not None and est <= PREIMAGE_BROADCAST_MAX_BYTES:
+                        old_side = F.broadcast(old_side)
             lj = latest.join(old_side, key, "left")
             present = F.coalesce(F.col("_o_present"), F.lit(False))
             epoch_col = F.col(COMMIT_COL).alias("_change_epoch")

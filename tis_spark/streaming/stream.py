@@ -247,11 +247,29 @@ class StreamingWideRow:
     is sink-side — checkpoint loss or a redelivered micro-batch replays
     as a skipped epoch instead of a double-apply."""
 
-    def __init__(self, spark: SparkSession, source_dir: str, pipeline, checkpoint_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        pipeline,
+        checkpoint_dir: str,
+        views: list | None = None,
+    ):
         self.spark = spark
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.pipeline = pipeline
+        #: MaterializedView instances over the star's lake tables (usually
+        #: the wide table — the reference's derived artifacts hang off
+        #: exactly that), refreshed after each micro-batch like
+        #: StreamingCdc.views: watermark-driven and fenced, so a skipped
+        #: epoch's refresh is a no-op and a missed one is caught up.
+        self.views = list(views or [])
+
+    def _epoch(self, df: DataFrame, batch_id: int) -> None:
+        self.pipeline.process_epoch(df, batch_id)
+        for v in self.views:
+            v.refresh()
 
     def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
         from tis_spark.fixtures.star import STAR_CHANGE_SCHEMA
@@ -263,9 +281,7 @@ class StreamingWideRow:
             .parquet(self.source_dir)
         )
         q = (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: self.pipeline.process_epoch(df, bid)
-            )
+            stream.writeStream.foreachBatch(self._epoch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()
