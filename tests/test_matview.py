@@ -451,3 +451,54 @@ def test_matview_insert_only_refresh_skips_recompute(spark, tmp_path, monkeypatc
     mv.refresh()
     assert calls == [1]
     _assert_view_equals_recompute(mv, src)
+
+
+def test_matview_approx_distinct_kmv_tracks_full_build(spark, tmp_path):
+    """approx_distinct maintains a deterministic min-k KMV sketch: after
+    inserts (gain-merge), value updates and deletes (retraction ->
+    recompute) and a group move, the incrementally-maintained sketch must
+    be BIT-IDENTICAL to a fresh full_build over the same source (min-k is
+    an order statistic — no estimator slack needed to compare), and the
+    derived estimate is exact while distinct < k."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(f"a{i}", "x", i % 3) for i in range(6)] + [("b1", "y", 7)])
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp"],
+        {"n_rows": ("count", None), "uniq_val": ("approx_distinct", "val")},
+        kmv_k=4,
+    )
+    mv.full_build()
+    view = {r["grp"]: r for r in mv.read().collect()}
+    assert view["x"]["uniq_val"] == 3  # exact below k
+    assert view["y"]["uniq_val"] == 1
+
+    # gains push x past k=4 distinct values -> estimator engages
+    _apply(spark, src, 1, [(f"c{i}", "x", 100 + i) for i in range(8)])
+    mv.refresh()
+    est = {r["grp"]: r["uniq_val"] for r in mv.read().collect()}
+    assert est["x"] >= 4  # 11 true distinct; KMV estimate, k=4 is coarse
+
+    # retraction: delete a value that sits in the sketch + a group move
+    _apply(spark, src, 2, [("a0", "y", 0)], deletes=["c0"])
+    mv.refresh()
+
+    # the maintained sketch equals a fresh full build, bit for bit
+    mv2 = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv2"),
+        src,
+        ["grp"],
+        {"n_rows": ("count", None), "uniq_val": ("approx_distinct", "val")},
+        kmv_k=4,
+    )
+    mv2.full_build()
+    got = {r["grp"]: (r["n_rows"], r["uniq_val"]) for r in mv.read(with_internal=True).collect()}
+    want = {r["grp"]: (r["n_rows"], r["uniq_val"]) for r in mv2.read(with_internal=True).collect()}
+    assert got == want
+    # and the derived estimates agree too
+    got_e = {r["grp"]: r["uniq_val"] for r in mv.read().collect()}
+    want_e = {r["grp"]: r["uniq_val"] for r in mv2.read().collect()}
+    assert got_e == want_e

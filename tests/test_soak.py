@@ -6,6 +6,12 @@ pipeline hits continuously, exercised TOGETHER rather than piecewise.
 Invariants under test:
 * the final wide table still matches the sequential oracle after 51
   epochs of interleaved compaction / expiry / DDL / fencing;
+* an attached materialized view (per-entity rollup over the wide table,
+  refreshed every epoch with compact_every, GC'd on the same cron)
+  equals a direct recompute at the end AND stays bounded in files and
+  history — the derived-artifact chain running for months (r5; the view
+  groups by the wide table's layout key, so every refresh that retracts
+  exercises the file-pruned min/max recompute path);
 * file counts stay bounded — per-bucket delta fan-in never exceeds the
   compaction threshold by more than one epoch's worth, snapshot history
   stays at GC depth, and the physical parquet count at the end is flat
@@ -95,6 +101,21 @@ def test_star_long_run_soak(spark, tmp_path_factory):
     )
     pipe.full_build(initial_tables_spark(spark, N_PRIMARY))
 
+    from tis_spark.lake.matview import MaterializedView
+
+    mv = MaterializedView.create(
+        spark,
+        os.path.join(root, "entity_mv"),
+        pipe.wide,
+        ["entity_id"],
+        {
+            "n_rows": ("count", None),
+            "fee_sum": ("sum", "pay_fee"),
+            "max_version": ("max", "version"),
+        },
+    )
+    mv.full_build()
+
     gen = gen_star_changes(
         spark, N_EVENTS, N_PRIMARY, seed=11, epoch_size=EPOCH_SIZE
     ).cache()
@@ -107,6 +128,7 @@ def test_star_long_run_soak(spark, tmp_path_factory):
     for ep in range(EPOCHS):
         if ep == 25:  # mid-stream DDL epoch (add column + widen + carriers)
             pipe.process_epoch(ddl, eid)
+            mv.refresh(compact_every=5)
             eid += 1
             assert spec.tables["payinfo"].columns["channel"] == "string"
             assert spec.tables["payinfo"].columns["type"] == "bigint"
@@ -120,6 +142,7 @@ def test_star_long_run_soak(spark, tmp_path_factory):
             t0 = time.perf_counter()
             pipe.process_epoch(batch, eid)
             walls.append(time.perf_counter() - t0)
+            mv.refresh(compact_every=5)
             with pytest.raises(CommitConflict):
                 stale.process_epoch(batch, eid + 1)
             eid += 2  # the conflicted id is burned, never applied
@@ -128,10 +151,14 @@ def test_star_long_run_soak(spark, tmp_path_factory):
         t0 = time.perf_counter()
         pipe.process_epoch(batch, eid)
         walls.append(time.perf_counter() - t0)
+        mv.refresh(compact_every=5)
         eid += 1
 
         if ep % 10 == 9:  # periodic lake GC, like a maintenance cron
             gc_reports.append(pipe.expire(keep_last=GC_KEEP_LAST))
+            gc_reports.append(
+                {"entity_mv": mv.table.expire_snapshots(keep_last=GC_KEEP_LAST)}
+            )
             if early_parquet is None:
                 early_parquet = _n_parquet(root)
 
@@ -139,7 +166,7 @@ def test_star_long_run_soak(spark, tmp_path_factory):
     gc_reports.append(final_gc)
 
     # ---- bounded metadata & storage ------------------------------------
-    for name, lake in [*pipe.sources.items(), ("wide", pipe.wide)]:
+    for name, lake in [*pipe.sources.items(), ("wide", pipe.wide), ("entity_mv", mv.table)]:
         snap = lake.current_snapshot()
         # compaction keeps per-bucket delta fan-in at threshold + the
         # epochs that landed since the last compaction check
@@ -170,6 +197,26 @@ def test_star_long_run_soak(spark, tmp_path_factory):
     assert list(got["kindpay"]) == list(exp["kindpay"])
     assert [round(v, 2) for v in got["pay_fee"]] == [round(v, 2) for v in exp["pay_fee"]]
     assert [int(v) for v in got["version"]] == [int(v) for v in exp["version"]]
+
+    # the attached view survived 51 epochs of refresh/compaction/GC and
+    # still equals a direct recompute over the final wide table
+    mv.refresh()  # catch up past the final maintenance commits, if any
+    got_mv = {
+        r["entity_id"]: (r["n_rows"], round(r["fee_sum"], 2), r["max_version"])
+        for r in mv.read().collect()
+    }
+    want_mv = {
+        r["entity_id"]: (r["n_rows"], round(r["fee_sum"], 2), r["max_version"])
+        for r in pipe.final_wide()
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("pay_fee").alias("fee_sum"),
+            F.max("version").alias("max_version"),
+        )
+        .collect()
+    }
+    assert got_mv == want_mv
 
     # the DDL column survived 25 more epochs of merges, GC and compaction
     pay = {r["id"]: r.asDict() for r in pipe.sources["payinfo"].read().collect()}

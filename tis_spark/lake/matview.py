@@ -38,6 +38,16 @@ Maintenance algebra per group g:
   recompute-retracted-groups fallback is the standard lake-native trade.
 * ``avg`` is maintained as (double sum, non-null count) and derived at
   ``read()`` — exactly delta-maintainable like sum.
+* ``approx_distinct`` maintains a k-minimum-values sketch (the k
+  smallest md5 hashes of the column, ``operators/analytics.py``'s
+  deterministic KMV shape): inserts merge the batch's min-k into the
+  stored min-k (min-k of a union = min-k of the min-k's — exact,
+  order-insensitive), retractions recompute the group's sketch through
+  the same restricted read as min/max (a removed value may sit in the
+  sketch).  ``read()`` derives the estimate: exact below k, else
+  (k-1)/kth-hash-as-fraction.  Sketches are built with the Arrow-batched
+  partial-min-k + survivor-rank plan (O(k x batches) rows shuffle, never
+  the values themselves).
 * a group whose maintained row count reaches 0 is tombstoned; a later
   insert resurrects it through normal delta reconciliation.
 
@@ -55,7 +65,7 @@ import os
 from functools import reduce
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,7 +74,9 @@ from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
 N_COL = "_mv_n"  # maintained group cardinality; also the view's version col
 _SPEC_FILE = "mv.json"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-AGG_FNS = {"count", "sum", "min", "max", "avg"}
+AGG_FNS = {"count", "sum", "min", "max", "avg", "approx_distinct"}
+#: default k for approx_distinct KMV sketches (overridable at create())
+KMV_K = 256
 #: bounded-collect cap for the retracted-group set (same policy as the
 #: changelog's preimage_keys_max): within the cap the min/max recompute
 #: read is key-restricted; above it, the column-pruned scan-plus-semi-join
@@ -93,6 +105,7 @@ class MaterializedView:
             spec = json.load(f)
         self.group_cols: list[str] = spec["group_cols"]
         self.aggs: list[tuple[str, str, str | None]] = [tuple(a) for a in spec["aggs"]]
+        self.kmv_k: int = int(spec.get("kmv_k", KMV_K))
         self.source = source if source is not None else LakeTable.load(spark, spec["source"])
 
     # ------------------------------------------------------------ lifecycle
@@ -105,12 +118,15 @@ class MaterializedView:
         group_cols: list[str],
         aggs: dict[str, tuple[str, str | None]],
         num_buckets: int = 16,
+        kmv_k: int = KMV_K,
     ) -> "MaterializedView":
         """Define the view (no data yet — call ``full_build``).  ``aggs``
-        maps output column -> (fn, source column); fn in {avg, count, max,
-        min, sum} (count takes no column).  Aggregated columns must exist
-        in the source schema at create time.  ``avg`` is stored as its
-        (double sum, non-null count) pair and derived at ``read()``."""
+        maps output column -> (fn, source column); fn in {approx_distinct,
+        avg, count, max, min, sum} (count takes no column).  Aggregated
+        columns must exist in the source schema at create time.  ``avg``
+        is stored as its (double sum, non-null count) pair and
+        ``approx_distinct`` as its min-``kmv_k`` hash sketch, both derived
+        at ``read()``."""
         src_schema = source.current_snapshot().schema
         src_fields = {f.name: f for f in src_schema.fields}
         for c in group_cols:
@@ -141,6 +157,8 @@ class MaterializedView:
                 )
                 fields.append(T.StructField(out, ot))
                 fields.append(T.StructField(_nn(out), T.LongType()))
+            elif fn == "approx_distinct":
+                fields.append(T.StructField(out, T.ArrayType(T.StringType())))
             else:
                 fields.append(T.StructField(out, st))
             norm.append((out, fn, col))
@@ -154,7 +172,13 @@ class MaterializedView:
         )
         with open(os.path.join(path, _SPEC_FILE), "w") as f:
             json.dump(
-                {"source": source.path, "group_cols": list(group_cols), "aggs": norm}, f
+                {
+                    "source": source.path,
+                    "group_cols": list(group_cols),
+                    "aggs": norm,
+                    "kmv_k": kmv_k,
+                },
+                f,
             )
         return MaterializedView(spark, path, source=source)
 
@@ -175,9 +199,74 @@ class MaterializedView:
                 exprs.append(F.count(col).cast("long").alias(_nn(out)))
             elif fn == "min":
                 exprs.append(F.min(col).alias(out))
-            else:
+            elif fn == "max":
                 exprs.append(F.max(col).alias(out))
+            # approx_distinct: built by _kmv_sketch and joined by callers
         return exprs
+
+    def _kmv_sketch(self, rows: DataFrame, col: str, out: str) -> DataFrame:
+        """min-k sketch of md5('kmv:'||col) per group over ``rows``: an
+        Arrow-batched partial min-k keeps the k smallest hashes per
+        (group, arrow-batch) with no exchange, so only O(k x batches)
+        survivor rows shuffle into the global rank — the two-stage plan
+        proven by operators/analytics.py::kmv_distinct_sketch.  min-k of
+        a union = min-k of the per-part min-k's, so the result is exact
+        and batching-independent (deterministic across engines and
+        cluster sizes, unlike HLL registers)."""
+        k = self.kmv_k
+        gcols = self.group_cols
+        h = rows.select(
+            *gcols,
+            F.md5(F.concat(F.lit("kmv:"), F.col(col).cast("string"))).alias("_h"),
+        ).filter(F.col("_h").isNotNull())
+        schema = T.StructType(
+            [h.schema[c] for c in gcols] + [T.StructField("_h", T.StringType())]
+        )
+
+        def partial_min_k(batches):
+            for pdf in batches:
+                yield (
+                    pdf.drop_duplicates()  # KMV is over DISTINCT values
+                    .sort_values("_h")
+                    .groupby(gcols, sort=False, dropna=False)
+                    .head(k)
+                )
+
+        # cross-batch duplicates survive the partial pass; the survivor
+        # set is O(k x batches) rows, so a distinct here is metadata-cheap
+        survivors = h.mapInPandas(partial_min_k, schema=schema).distinct()
+        w = Window.partitionBy(*gcols).orderBy("_h")
+        ranked = survivors.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") <= k
+        )
+        return ranked.groupBy(*gcols).agg(
+            F.array_sort(F.collect_list("_h")).alias(out)
+        )
+
+    def _join_sketches(self, agg: DataFrame, rows: DataFrame, rename=None) -> DataFrame:
+        """Left-join one min-k sketch per approx_distinct agg (built over
+        ``rows``) onto ``agg``; absent groups (all-null column) coalesce
+        to the empty sketch.  The sketch side's group columns are renamed
+        before the join: agg and the sketch usually share lineage (both
+        derive from the same scan), and a same-attribute equality would
+        silently degenerate to a trivially-true self-join predicate."""
+        gcols = self.group_cols
+        for out, fn, col in self.aggs:
+            if fn != "approx_distinct":
+                continue
+            name = rename(out) if rename else out
+            sk = self._kmv_sketch(rows, col, name).select(
+                *[F.col(c).alias(f"_skg_{c}") for c in gcols], name
+            )
+            cond = reduce(
+                Column.__and__,
+                [agg[c].eqNullSafe(sk[f"_skg_{c}"]) for c in gcols],
+            )
+            agg = agg.join(sk, cond, "left").select(
+                *[agg[c] for c in agg.columns if c != name],
+                F.coalesce(sk[name], F.array().cast("array<string>")).alias(name),
+            )
+        return agg
 
     def _check_schema_drift(self, src_snap) -> None:
         """Fail loudly when a source DDL has widened a column the view
@@ -196,6 +285,13 @@ class MaterializedView:
             if col is None:
                 continue
             st = src_fields.get(col)
+            if fn == "approx_distinct":
+                # sketch hashes the string cast of the value: int->long
+                # widening keeps the same rendering, so no drift — only a
+                # dropped column breaks the view
+                if st is None:
+                    drift.append((col, T.ArrayType(T.StringType()), None))
+                continue
             if fn in ("sum", "avg"):
                 want = (
                     T.DoubleType()
@@ -306,11 +402,9 @@ class MaterializedView:
         tsnap = self.table.current_snapshot()
         src_snap = self.source.current_snapshot()
         self._check_schema_drift(src_snap)
-        agg = (
-            self.source.read(snapshot_id=src_snap.snapshot_id)
-            .groupBy(*self.group_cols)
-            .agg(*self._agg_exprs())
-        )
+        src_rows = self.source.read(snapshot_id=src_snap.snapshot_id)
+        agg = src_rows.groupBy(*self.group_cols).agg(*self._agg_exprs())
+        agg = self._join_sketches(agg, src_rows)
         stamped = (
             agg.withColumn("_bucket", self.table.bucket_expr())
             .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
@@ -382,8 +476,19 @@ class MaterializedView:
             elif fn == "max":
                 has_extrema = True
                 dexprs.append(F.max(F.when(sign > 0, F.col(col))).alias(f"_ins_{out}"))
+            elif fn == "approx_distinct":
+                # the batch's min-k over gained rows joins in below (the
+                # sketch is helper-built, not an agg expr); a retraction
+                # may remove a sketched value -> recompute like min/max
+                has_extrema = True
         dexprs.append(F.max(F.when(sign < 0, F.lit(1)).otherwise(F.lit(0))).alias("_retr"))
-        delta = ch.groupBy(*gcols).agg(*dexprs).persist(StorageLevel.MEMORY_AND_DISK)
+        delta = ch.groupBy(*gcols).agg(*dexprs)
+        if any(fn == "approx_distinct" for _, fn, _ in self.aggs):
+            gained_rows = ch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            )
+            delta = self._join_sketches(delta, gained_rows, rename=lambda o: f"_ins_{o}")
+        delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             # touched buckets + group count + retraction presence: ONE
             # action over <= num_buckets rows
@@ -420,16 +525,20 @@ class MaterializedView:
                 # reach here at all.
                 retr = delta.filter(F.col("_retr") == 1).select(*gcols)
                 src_rows = self._recompute_read(src_snap, retr, n_retracted)
+                src_sem = src_rows.join(
+                    retr, _null_safe_on(src_rows, retr, gcols), "left_semi"
+                )
                 rex = [
                     (F.min(col) if fn == "min" else F.max(col)).alias(f"_rec_{out}")
                     for out, fn, col in self.aggs
                     if fn in ("min", "max")
                 ]
                 rec = (
-                    src_rows.join(retr, _null_safe_on(src_rows, retr, gcols), "left_semi")
-                    .groupBy(*gcols)
-                    .agg(*rex)
+                    src_sem.groupBy(*gcols).agg(*rex)
+                    if rex
+                    else src_sem.select(*gcols).distinct()
                 )
+                rec = self._join_sketches(rec, src_sem, rename=lambda o: f"_rec_{o}")
                 merged = merged.join(rec, _null_safe_on(delta, rec, gcols), "left")
 
             new_n = (F.coalesce(old[N_COL], F.lit(0)) + delta["_d_n"]).alias(N_COL)
@@ -447,6 +556,29 @@ class MaterializedView:
                     out_cols.append(
                         (F.coalesce(old[_nn(out)], F.lit(0)) + delta[f"_dn_{out}"]).alias(_nn(out))
                     )
+                elif fn == "approx_distinct":
+                    empty = F.array().cast("array<string>")
+                    gained = F.slice(
+                        F.array_sort(
+                            F.array_union(
+                                F.coalesce(old[out], empty),
+                                F.coalesce(delta[f"_ins_{out}"], empty),
+                            )
+                        ),
+                        1,
+                        self.kmv_k,
+                    )
+                    if rec is None:
+                        out_cols.append(gained.alias(out))
+                    else:
+                        out_cols.append(
+                            F.when(
+                                delta["_retr"] == 1,
+                                F.coalesce(rec[f"_rec_{out}"], empty),
+                            )
+                            .otherwise(gained)
+                            .alias(out)
+                        )
                 else:
                     gained = (
                         F.least(old[out], delta[f"_ins_{out}"])
@@ -496,6 +628,20 @@ class MaterializedView:
             elif fn == "avg":
                 cols.append(
                     F.when(F.col(_nn(out)) > 0, F.col(out) / F.col(_nn(out))).alias(out)
+                )
+            elif fn == "approx_distinct":
+                # exact below k (the sketch holds every distinct hash);
+                # above, the classic KMV estimator (k-1)/kth-as-fraction
+                k = self.kmv_k
+                sz = F.size(F.col(out))
+                kth = F.element_at(F.col(out), k)
+                frac = F.conv(F.substring(kth, 1, 15), 16, 10).cast("double") / F.lit(
+                    float(16**15)
+                )
+                cols.append(
+                    F.when(sz < k, sz.cast("long"))
+                    .otherwise(F.round((k - 1) / frac).cast("long"))
+                    .alias(out)
                 )
             else:
                 cols.append(F.col(out))
