@@ -259,3 +259,99 @@ def replica_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("warc_ts").alias("warc_ts_us"),
         "lang",
     )
+
+
+@query(
+    "matview_approx_distinct",
+    f"""
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    ),
+    state AS (
+      SELECT url, event_type AS lang,
+             'pg_' || url || '_' || CAST(seq AS VARCHAR) AS text
+      FROM win WHERE rn = 1
+    ),
+    hashes AS (SELECT DISTINCT lang, md5('kmv:' || text) AS h FROM state),
+    ranked AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+      FROM hashes
+    ),
+    sk AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS sketch_n,
+             max(CASE WHEN rk = 8 THEN h END) AS h8
+      FROM ranked WHERE rk <= 8 GROUP BY lang
+    ),
+    cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pages FROM state GROUP BY lang)
+    SELECT c.lang, c.n_pages, s.sketch_n,
+           CAST(CASE WHEN s.sketch_n < 8 THEN s.sketch_n
+                ELSE 8070450532247928832 // CAST(('0x' || substr(s.h8, 1, 15)) AS BIGINT)
+           END AS BIGINT) AS uniq_est
+    FROM cnt c JOIN sk s USING (lang)
+    """,
+)
+def matview_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained approx-distinct view, driver-checkable:
+    replay the FIRST HALF of the derived stream through the real engine,
+    full-build a per-lang view {count, approx_distinct(text)} with a
+    k=8 KMV sketch (lake/matview.py — gains merge min-k exactly, a
+    retraction recomputes the group's sketch through the restricted
+    read), replay the SECOND HALF, catch up with ONE changelog refresh.
+    The min-k sketch is an order statistic, so the maintained state is
+    bit-identical to a sketch over the final folded rows — which is what
+    the DuckDB oracle builds directly with a hash-rank window.  The
+    estimate is derived with pure int64 arithmetic ((k-1)*16^15 DIV
+    first-15-hex-digits-of-kth-hash — 7*16^15 < 2^63), so both engines
+    tie exactly; groups below k report the exact distinct count.
+
+    Reference contrast: TIS exposes cardinality only via full Solr
+    faceting over the rebuilt index (tis-index-builder); here the sketch
+    rides the view's O(changed keys) refresh.
+    """
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.lake.matview import MaterializedView
+
+    table_dir = tempfile.mkdtemp(prefix="tis-mvkmv-")
+    changes = derived_changes(spark, sf_dir)
+    max_seq = changes.agg(F.max("seq")).first()[0]
+    ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
+    half = ep * max(1, max_seq // (2 * ep))
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    ingest.replay(changes.filter(F.col("seq") < half), epoch_size=ep)
+    mv = MaterializedView.create(
+        spark,
+        table_dir + "_mv",
+        ingest.table,
+        ["lang"],
+        {"n_pages": ("count", None), "uniq_texts": ("approx_distinct", "text")},
+        kmv_k=8,
+    )
+    mv.full_build()
+    ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
+    mv.refresh()
+    sz = F.size("uniq_texts")
+    est = F.when(sz < 8, sz.cast("long")).otherwise(
+        F.expr(
+            "CAST(8070450532247928832 DIV CAST(conv(substring("
+            "element_at(uniq_texts, 8), 1, 15), 16, 10) AS BIGINT) AS BIGINT)"
+        )
+    )
+    return mv.read(with_internal=True).select(
+        "lang",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        sz.cast("long").alias("sketch_n"),
+        est.alias("uniq_est"),
+    )
