@@ -47,7 +47,12 @@ GROUPS = int(os.environ.get("SPARK_GRAFT_MV_GROUPS", "10000"))
 #: is hit -> the preimage read degrades to a column-pruned scan);
 #: "recent" clusters them at the top of the key space (the CDC recency
 #: skew real crawls have -> zone maps prune the preimage read to the few
-#: files holding those keys)
+#: files holding those keys);
+#: "grouped" picks every key of a CONTIGUOUS low range of groups (~K keys
+#: total) — the domain-purge shape (retract/update all pages of a few
+#: domains).  Hash-random group membership (recent/uniform) scatters even
+#: 20k retracted groups across every base file, so group-side file
+#: pruning cannot engage; "grouped" is the shape it exists for.
 SKEW = os.environ.get("SPARK_GRAFT_MV_SKEW", "uniform")
 #: "all" = count/sum/min/max (extrema force the retraction recompute on
 #: retracting refreshes); "sums" = count/sum only (pure delta-maintainable
@@ -122,6 +127,13 @@ def apply_delta(spark, t, n, k):
     key's CURRENT bucket, so they keep the original g instead of null."""
     if SKEW == "recent":
         ch = spark.range(k).select((F.col("id") + (n - k)).alias("id"))
+    elif SKEW == "grouped":
+        # every key whose group falls in the lowest ~k*GROUPS/n groups:
+        # ~k keys over a contiguous group range (domain-purge locality)
+        glo = max(1, (k * GROUPS) // n)
+        ch = spark.range(n).where(
+            F.pmod(F.xxhash64("id"), F.lit(GROUPS)) < glo
+        ).select("id")
     else:
         ch = spark.range(k).select((F.col("id") * (n // k)).alias("id"))
     orig_g = F.pmod(F.xxhash64("id"), F.lit(GROUPS))

@@ -502,3 +502,75 @@ def test_matview_approx_distinct_kmv_tracks_full_build(spark, tmp_path):
     got_e = {r["grp"]: r["uniq_val"] for r in mv.read().collect()}
     want_e = {r["grp"]: r["uniq_val"] for r in mv2.read().collect()}
     assert got_e == want_e
+
+
+def test_refresh_views_shares_one_changelog_read(spark, tmp_path, monkeypatch):
+    """N views over one source, maintained with refresh_views: the window's
+    changes() is computed ONCE for the whole group (not once per view),
+    both views still equal their recomputes (incl. a min/max retraction),
+    and a view whose watermark lags the group falls back to a private
+    read instead of consuming a mismatched window."""
+    from tis_spark.lake.matview import refresh_views
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(f"k{i}", "ab"[i % 2], i * 10) for i in range(8)])
+    mv1 = MaterializedView.create(spark, str(tmp_path / "mv1"), src, ["grp"], AGGS)
+    mv2 = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv2"),
+        src,
+        ["grp"],
+        {"n_rows": ("count", None), "avg_val": ("avg", "val")},
+    )
+    mv1.full_build()
+    mv2.full_build()
+
+    calls = []
+    real = LakeTable.changes
+
+    def counting(self, *a, **kw):
+        calls.append((self.path, a[:2]))
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "changes", counting)
+
+    # one window: an update that retracts mv1's max + a delete + an insert
+    _apply(spark, src, 1, [("k7", "b", -5), ("k9", "a", 99)], deletes=["k0"])
+    refresh_views([mv1, mv2])
+    assert len(calls) == 1, calls  # ONE changes() for both views
+    _assert_view_equals_recompute(mv1, src)
+    got2 = {r["grp"]: (r["n_rows"], r["avg_val"]) for r in mv2.read().collect()}
+    want2 = {
+        r["grp"]: (r["n_rows"], r["avg_val"])
+        for r in src.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.avg("val").alias("avg_val"),
+        )
+        .collect()
+    }
+    assert got2 == want2
+
+    # lagging view: mv2 skips one window, then joins a group whose shared
+    # window no longer starts at ITS watermark -> private-read fallback
+    calls.clear()
+    _apply(spark, src, 2, [("k1", "b", 7)])
+    mv1.refresh()  # mv1 advances alone
+    calls.clear()
+    _apply(spark, src, 3, [("k2", "a", 1)], deletes=["k3"])
+    stats = refresh_views([mv1, mv2])
+    # group forms on mv1's watermark? no — differing watermarks split the
+    # group, so each view reads privately: 2 calls, both still correct
+    assert len(calls) == 2, calls
+    assert all(not s.get("up_to_date") for s in stats)
+    _assert_view_equals_recompute(mv1, src)
+    got2 = {r["grp"]: r["n_rows"] for r in mv2.read().collect()}
+    want2 = {
+        r["grp"]: r["n_rows"]
+        for r in src.read()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .collect()
+    }
+    assert got2 == want2

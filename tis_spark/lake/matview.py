@@ -432,7 +432,7 @@ class MaterializedView:
             expected_snapshot_id=snap.snapshot_id,
         )
 
-    def refresh(self, compact_every: int | None = None) -> dict:
+    def refresh(self, compact_every: int | None = None, _pinned=None) -> dict:
         """Catch the view up to the source's current snapshot from the
         preimage changelog.  Returns maintenance stats.  Exactly-once: the
         commit carries the source snapshot watermark and is fenced on the
@@ -440,17 +440,30 @@ class MaterializedView:
         ``CommitConflict``); re-running after success is a no-op.
         ``compact_every=N`` folds the view's deltas into a fresh base
         every N refresh epochs (file-count hygiene for unbounded
-        streams)."""
+        streams).  ``_pinned`` is ``refresh_views``'s internal handle: a
+        ``(src_snap, changelog_df)`` pair that pins the window end and
+        substitutes an already-persisted changelog for this view's own
+        ``changes()`` read (the window START is still checked against this
+        view's watermark — a view ahead of or behind the shared window
+        must not consume it)."""
         tsnap = self.table.current_snapshot()
         last_src = self._last_source_snapshot()
-        src_snap = self.source.current_snapshot()
+        if _pinned is not None and _pinned[2] != last_src:
+            # shared window starts elsewhere than this view's watermark:
+            # fall back to a private read rather than mis-apply deltas
+            _pinned = None
+        src_snap = _pinned[0] if _pinned is not None else self.source.current_snapshot()
         if src_snap.snapshot_id <= last_src:
             return {"groups": 0, "epoch": None, "up_to_date": True}
         self._check_schema_drift(src_snap)
         epoch = self._next_epoch()
         gcols = self.group_cols
         types = self._types()
-        ch = self.source.changes(last_src, src_snap.snapshot_id, with_preimage=True)
+        ch = (
+            _pinned[1]
+            if _pinned is not None
+            else self.source.changes(last_src, src_snap.snapshot_id, with_preimage=True)
+        )
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
@@ -646,3 +659,48 @@ class MaterializedView:
             else:
                 cols.append(F.col(out))
         return df.select(*cols)
+
+
+def refresh_views(views: list, compact_every: int | None = None) -> list[dict]:
+    """Refresh many views with ONE changelog read per (source, window).
+
+    Views attached to the same stream share a source and advance their
+    watermarks in lockstep, so per-batch maintenance of N views would
+    otherwise read the identical ``changes()`` window N times — at scale
+    that is N scans of the window's delta files (and, with preimages, N
+    key-restricted old-snapshot reads).  Here views are grouped by
+    (source path, watermark); each group's changelog is computed once,
+    persisted, and handed to every member's :meth:`MaterializedView.refresh`
+    via the pinned-window handle.  Exactly-once is untouched: every view
+    still fences on its own snapshot and records its own watermark, and a
+    view whose watermark disagrees with its group (attached mid-stream,
+    or a partial failure last batch) silently takes the private-read path
+    inside ``refresh`` rather than consuming a mismatched window.
+
+    Returns per-view stats in input order.
+    """
+    stats: dict[int, dict] = {}
+    groups: dict[tuple, list[tuple[int, "MaterializedView"]]] = {}
+    for i, v in enumerate(views):
+        key = (v.source.path, v._last_source_snapshot())
+        groups.setdefault(key, []).append((i, v))
+    for (path, lo), members in groups.items():
+        if len(members) == 1:
+            i, v = members[0]
+            stats[i] = v.refresh(compact_every)
+            continue
+        src = members[0][1].source
+        snap = src.current_snapshot()
+        if snap.snapshot_id <= lo:
+            for i, v in members:
+                stats[i] = v.refresh(compact_every)
+            continue
+        ch = src.changes(lo, snap.snapshot_id, with_preimage=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            for i, v in members:
+                stats[i] = v.refresh(compact_every, _pinned=(snap, ch, lo))
+        finally:
+            ch.unpersist(blocking=False)
+    return [stats[i] for i in range(len(views))]

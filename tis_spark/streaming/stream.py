@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from tis_spark.cdc.pipeline import CdcConfig, CdcIngest
 from tis_spark.fixtures.gen import CHANGE_SCHEMA
+from tis_spark.lake.matview import refresh_views
 
 
 def write_stream_chunks(
@@ -172,8 +173,8 @@ class StreamingCdc:
 
     def _epoch(self, df: DataFrame, batch_id: int) -> None:
         self.ingest.process_epoch(df, batch_id)
-        for v in self.views:
-            v.refresh()
+        if self.views:
+            refresh_views(self.views)
 
     def _make_stream(self, max_files_per_trigger: int) -> DataFrame:
         if self.kafka is None:
@@ -229,8 +230,8 @@ class StreamingCdc:
         out = self.ingest.process_epoch(
             empty, (last if last is not None else -1) + 1, final_flush=True
         )
-        for v in self.views:
-            v.refresh()
+        if self.views:
+            refresh_views(self.views)
         return out
 
     def final_state(self) -> DataFrame:
@@ -268,8 +269,8 @@ class StreamingWideRow:
 
     def _epoch(self, df: DataFrame, batch_id: int) -> None:
         self.pipeline.process_epoch(df, batch_id)
-        for v in self.views:
-            v.refresh()
+        if self.views:
+            refresh_views(self.views)
 
     def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
         from tis_spark.fixtures.star import STAR_CHANGE_SCHEMA
