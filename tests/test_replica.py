@@ -122,3 +122,84 @@ def test_replica_sync_requires_bootstrap(spark, tmp_path):
     rep = TableReplica.create(spark, str(tmp_path / "rep"), src)
     with pytest.raises(RuntimeError, match="bootstrap"):
         rep.sync()
+
+
+def test_replica_of_layout_clustered_source_keeps_bucket_invariant(spark, tmp_path):
+    """A replica of a layout_col (domain-clustered) source must stay
+    correct for BUCKET-RESTRICTED readers, not just whole-table reads:
+    deletes must tombstone the dead key's layout bucket and a relocated
+    key must leave an old-bucket tombstone (the lake's relocation-pair
+    protocol), otherwise point lookups / per-bucket compaction / a
+    layout-grouped matview over the replica see phantom rows."""
+    src = _mk_source(spark, str(tmp_path / "src"), layout_col="domain")
+
+    def apply_layout(epoch, upserts, tombstones=()):
+        # engine convention: tombstones carry the OLD layout value; a
+        # relocation writes (new-bucket live copy, old-bucket tombstone)
+        rows = [
+            {"url": u, "domain": d, "score": s, DEAD_COL: False}
+            for u, d, s in upserts
+        ] + [
+            {"url": u, "domain": d, "score": None, DEAD_COL: True}
+            for u, d in tombstones
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows)[["url", "domain", "score", DEAD_COL]],
+            T.StructType(
+                list(SRC_SCHEMA.fields) + [T.StructField(DEAD_COL, T.BooleanType())]
+            ),
+        )
+        df = df.withColumn(COMMIT_COL, F.lit(epoch).cast("long")).withColumn(
+            "_bucket", src.bucket_expr()
+        )
+        src.commit(src.write_data_files(df, kind="delta"), summary={"epoch_id": epoch})
+
+    apply_layout(0, [("k1", "d0", 1), ("k5", "d1", 5), ("k6", "d2", 6)])
+    rep = TableReplica.create(spark, str(tmp_path / "rep"), src)
+    rep.bootstrap()
+
+    # delete k5 (domain d1) + relocate k6 from d2 to d0 + touch k1 in place
+    apply_layout(
+        1,
+        [("k6", "d0", 60), ("k1", "d0", 11)],
+        tombstones=[("k5", "d1"), ("k6", "d2")],
+    )
+    rep.sync()
+    assert _state(rep) == _state(src)
+
+    def bucket_of(domain):
+        return int(
+            spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(domain)),
+                    F.lit(rep.table.current_snapshot().num_buckets),
+                ).cast("int")
+            )
+            .first()[0]
+        )
+
+    # the dead key's bucket: k5 must be gone from a RESTRICTED read
+    d1 = rep.table.read(buckets=[bucket_of("d1")])
+    assert [r["url"] for r in d1.collect() if r["url"] == "k5"] == []
+    # the relocated-away bucket: k6 must not linger in d2
+    d2 = rep.table.read(buckets=[bucket_of("d2")])
+    assert [r["url"] for r in d2.collect() if r["url"] == "k6"] == []
+    # and the new bucket serves the moved row
+    d0 = {r["url"]: (r["domain"], r["score"]) for r in rep.table.read(buckets=[bucket_of("d0")]).collect()}
+    assert d0["k6"] == ("d0", 60) and d0["k1"] == ("d0", 11)
+
+    # second window: relocate k6 back and delete k1 — replayed sync stays
+    # idempotent and restricted reads stay clean
+    apply_layout(
+        2,
+        [("k6", "d2", 61)],
+        tombstones=[("k6", "d0"), ("k1", "d0")],
+    )
+    rep.sync()
+    assert rep.sync()["up_to_date"]  # watermark no-op
+    assert _state(rep) == _state(src)
+    d0 = rep.table.read(buckets=[bucket_of("d0")])
+    assert {r["url"] for r in d0.collect()} == set()
+    d2 = {r["url"]: r["score"] for r in rep.table.read(buckets=[bucket_of("d2")]).collect()}
+    assert d2 == {"k6": 61}

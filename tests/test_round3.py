@@ -38,7 +38,15 @@ def test_gate_priority_covers_flagships():
     assert not missing_oracle, missing_oracle
     # the no-oracle full-replay flagships stay registered (pytest runs
     # them every suite execution) but past the driver's cap
-    for name in ("cdc_replay_final_state", "wide_row_incremental"):
+    for name in (
+        "cdc_replay_final_state",
+        "wide_row_incremental",
+        # rotated past the cap by the r5 gate recomposition (cube+rollup
+        # keep grouping covered in the gate; these stay pytest-pinned)
+        "grouping_sets_flag_and_status",
+        "multimodal_binary_meta",
+        "text_token_count",
+    ):
         assert name in allq and name not in first50, name
     for name in (
         "cdc_engine_fold_events",
@@ -53,7 +61,6 @@ def test_gate_priority_covers_flagships():
         "decontaminate_ngram_overlap",
         "rollup_returnflag_status",
         "cube_returnflag_status",
-        "grouping_sets_flag_and_status",
         "datax_sync_roundtrip",
         "index_search_topk",
         "dedup_minhash_lsh",
@@ -63,6 +70,11 @@ def test_gate_priority_covers_flagships():
         "intersect_except_segments",
         "fn_string_suite",
         "fn_numeric_temporal_suite",
+        # r5 promotions: the r4 flagship surface carries driver rows
+        "matview_group_rollup",
+        "url_canonicalize",
+        "domain_cap_topk",
+        "dup_span_stats",
     ):
         assert name in first50, name
 

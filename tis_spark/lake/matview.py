@@ -361,19 +361,7 @@ class MaterializedView:
             has_null = len(nn_vals) < len(vals)
             if not has_null and nn_vals:
                 if g == _LT.layout_key(src_snap):
-                    gt = next(f.dataType for f in src_snap.schema.fields if f.name == g)
-                    kdf = self.spark.createDataFrame(
-                        [(v,) for v in nn_vals], T.StructType([T.StructField(g, gt)])
-                    )
-                    bexpr = F.pmod(F.xxhash64(F.col(g)), F.lit(src_snap.num_buckets))
-                    ks: dict[str, list] = {}
-                    for r in kdf.select(bexpr.cast("int").alias("_b"), g).collect():
-                        ks.setdefault(str(r["_b"]), []).append(r[g])
-                    return self.source.read(
-                        snapshot_id=src_snap.snapshot_id,
-                        buckets=sorted(int(b) for b in ks),
-                        key_set=ks,
-                    )
+                    return self.source.read_layout_point_lookup(src_snap, g, nn_vals)
                 if g == src_snap.key_cols[0] and src_snap.layout_col:
                     return self.source.read(
                         snapshot_id=src_snap.snapshot_id, pk_set=nn_vals
@@ -441,11 +429,12 @@ class MaterializedView:
         ``compact_every=N`` folds the view's deltas into a fresh base
         every N refresh epochs (file-count hygiene for unbounded
         streams).  ``_pinned`` is ``refresh_views``'s internal handle: a
-        ``(src_snap, changelog_df)`` pair that pins the window end and
-        substitutes an already-persisted changelog for this view's own
-        ``changes()`` read (the window START is still checked against this
-        view's watermark — a view ahead of or behind the shared window
-        must not consume it)."""
+        ``(src_snap, changelog_df, window_start)`` triple that pins the
+        window end and substitutes an already-persisted changelog for this
+        view's own ``changes()`` read; ``window_start`` must equal this
+        view's watermark or the handle is ignored and the view reads
+        privately — a view ahead of or behind the shared window must not
+        consume it."""
         tsnap = self.table.current_snapshot()
         last_src = self._last_source_snapshot()
         if _pinned is not None and _pinned[2] != last_src:
@@ -497,9 +486,24 @@ class MaterializedView:
         dexprs.append(F.max(F.when(sign < 0, F.lit(1)).otherwise(F.lit(0))).alias("_retr"))
         delta = ch.groupBy(*gcols).agg(*dexprs)
         if any(fn == "approx_distinct" for _, fn, _ in self.aggs):
-            gained_rows = ch.filter(
-                F.col("_change_type").isin("insert", "update_postimage")
+            gain = F.col("_change_type").isin("insert", "update_postimage")
+            # a retracted group's sketch is recomputed below regardless, so
+            # its gain-merge sketch would be discarded — anti-join the
+            # gained rows against groups with any retraction first, so the
+            # Arrow partial-min-k + rank only run where the result is used
+            # (an update-heavy window would otherwise sketch everything
+            # twice)
+            retr_g = (
+                ch.filter(~gain)
+                .select(*[F.col(c).alias(f"_rg_{c}") for c in gcols])
+                .distinct()
             )
+            gained = ch.filter(gain)
+            cond = reduce(
+                Column.__and__,
+                [gained[c].eqNullSafe(retr_g[f"_rg_{c}"]) for c in gcols],
+            )
+            gained_rows = gained.join(retr_g, cond, "left_anti")
             delta = self._join_sketches(delta, gained_rows, rename=lambda o: f"_ins_{o}")
         delta = delta.persist(StorageLevel.MEMORY_AND_DISK)
         try:

@@ -18,6 +18,18 @@ the feed is one bucket-aligned delta commit stamped with the replica's
 own epoch; the lake's ordinary merge-on-read fold (latest commit wins,
 alive-over-dead) makes re-application of any window a no-op.
 
+LAYOUT-CLUSTERED sources (``layout_col`` set — FK/domain-clustered
+tables) cannot use that mode: the bucket is a function of the layout
+column, so a null-payload delete row has no bucket and a key whose
+layout value changed leaves its old-bucket copy visible to
+bucket/key-restricted readers.  For those, ``sync()`` switches to the
+preimage changelog and replays the lake's relocation protocol — live
+post-images plus old-layout tombstones — at the cost of the preimage
+mode's key-restricted old-snapshot read.  Whole-table reads are correct
+either way; the layout branch is what keeps *restricted* reads (point
+lookups, per-bucket compaction, layout-grouped matviews) correct on the
+replica.
+
 Exactly-once: every sync commit carries ``replica_source_snapshot`` (the
 source snapshot watermark) and is fenced on the replica snapshot it read
 (``expected_snapshot_id``, the C8 writer-view rule) — a duplicate sync
@@ -152,17 +164,51 @@ class TableReplica:
             return {"keys": 0, "epoch": None, "up_to_date": True}
         expected = self._evolve_to(src_snap, tsnap.snapshot_id)
         epoch = self._next_epoch()
-        ch = self.source.changes(
-            last_src, src_snap.snapshot_id, classify=False
-        )
+        layout = self.table.current_snapshot().layout_col
         cols = [f.name for f in src_snap.schema.fields]
-        delta = (
-            ch.select(
+        if layout is None:
+            ch = self.source.changes(
+                last_src, src_snap.snapshot_id, classify=False
+            )
+            delta = ch.select(
                 *cols,
                 (F.col("_change_type") == F.lit("delete")).alias(DEAD_COL),
             )
-            .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
-            .withColumn("_bucket", self.table.bucket_expr())
+        else:
+            # Layout-clustered replica: the bucket is a function of the
+            # LAYOUT column, so classify=False rows cannot route deletes
+            # (null payload -> xxhash64(NULL), a constant wrong bucket) or
+            # shadow a relocated key's old-bucket copy.  Take the preimage
+            # changelog instead and replay the lake's relocation protocol:
+            # post-images are the live copies (new bucket); every preimage
+            # and every delete becomes a tombstone carrying the OLD layout
+            # value (old bucket) with nulled payload.  A non-moving update
+            # drops its tombstone in the same bucket as the live copy at
+            # the same _commit — read()'s alive-over-dead tie-break keeps
+            # the live row — while a moved key's old-bucket copy is
+            # correctly shadowed for bucket/key-restricted readers (the
+            # same pair the wide engine writes, wide/pipeline.py).
+            ch = self.source.changes(
+                last_src, src_snap.snapshot_id, with_preimage=True
+            )
+            keep = set(src_snap.key_cols) | {layout}
+            gain = F.col("_change_type").isin("insert", "update_postimage")
+            ups = ch.filter(gain).select(*cols).withColumn(DEAD_COL, F.lit(False))
+            tmb = (
+                ch.filter(~gain)
+                .select(
+                    *[
+                        F.col(f.name)
+                        if f.name in keep
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in src_snap.schema.fields
+                    ]
+                )
+                .withColumn(DEAD_COL, F.lit(True))
+            )
+            delta = ups.unionByName(tmb)
+        delta = delta.withColumn(COMMIT_COL, F.lit(epoch).cast("long")).withColumn(
+            "_bucket", self.table.bucket_expr()
         )
         files = self.table.write_data_files(delta, kind="delta")
         n_files = sum(len(ents) for ents in files.values())

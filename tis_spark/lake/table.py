@@ -517,6 +517,31 @@ class LakeTable:
             return empty
         return merged if with_internal else merged.drop(*internal)
 
+    def read_layout_point_lookup(self, snap, col: str, values: list) -> DataFrame:
+        """Bucket + zone-map file-pruned read of the rows whose LAYOUT
+        column is in ``values`` — the point-lookup recipe shared by the
+        changelog's key-restricted old reads and the matview retraction
+        recompute.  ``values`` must be non-null and ``col`` must be the
+        snapshot's physical clustering column (``layout_key``); the result
+        is a SUPERSET projection (a file holding one wanted value yields
+        all its rows) — callers make it exact with their own semi-join.
+        The bucket map is computed with the same xxhash64 expression the
+        writers bucket by, so the (buckets, key_set) pair lines up with
+        the zone maps on disk."""
+        dt = next(f.dataType for f in snap.schema.fields if f.name == col)
+        kdf = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField(col, dt)])
+        )
+        bexpr = F.pmod(F.xxhash64(F.col(col)), F.lit(snap.num_buckets))
+        ks: dict[str, list] = {}
+        for r in kdf.select(bexpr.cast("int").alias("_b"), col).collect():
+            ks.setdefault(str(r["_b"]), []).append(r[col])
+        return self.read(
+            snapshot_id=snap.snapshot_id,
+            buckets=sorted(int(b) for b in ks),
+            key_set=ks,
+        )
+
     # ------------------------------------------------------- change feed
 
     def changes(
@@ -684,19 +709,7 @@ class LakeTable:
             elif LakeTable.layout_key(old_snap) != k0:
                 wide = self.read(snapshot_id=old_snap.snapshot_id, pk_set=k0_vals)
             else:
-                k0df = self.spark.createDataFrame(
-                    [(v,) for v in k0_vals],
-                    T.StructType([T.StructField(k0, ktypes[k0])]),
-                )
-                bexpr = F.pmod(F.xxhash64(F.col(k0)), F.lit(old_snap.num_buckets))
-                ks: dict[str, list] = {}
-                for r in k0df.select(bexpr.cast("int").alias("_b"), k0).collect():
-                    ks.setdefault(str(r["_b"]), []).append(r[k0])
-                wide = self.read(
-                    snapshot_id=old_snap.snapshot_id,
-                    buckets=sorted(int(b) for b in ks),
-                    key_set=ks,
-                )
+                wide = self.read_layout_point_lookup(old_snap, k0, k0_vals)
             # exact-restrict the superset projection against the BROADCAST
             # key set: downstream classification/preimage joins then see at
             # most len(changed_keys) old rows and plan as broadcast joins —
