@@ -203,3 +203,81 @@ def test_replica_of_layout_clustered_source_keeps_bucket_invariant(spark, tmp_pa
     assert {r["url"] for r in d0.collect()} == set()
     d2 = {r["url"]: r["score"] for r in rep.table.read(buckets=[bucket_of("d2")]).collect()}
     assert d2 == {"k6": 61}
+
+
+def test_matview_over_replica_of_layout_source(spark, tmp_path):
+    """Composability chain: source -> incremental replica -> incremental
+    matview GROUPED BY THE LAYOUT KEY over the replica.  The view's
+    retraction recompute takes the bucket/zone file-pruned read against
+    the REPLICA, so it only stays correct because sync() keeps the
+    replica's bucket invariant (relocation tombstones) — the end-to-end
+    pin for the layout-clustered replication path."""
+    from tis_spark.lake.matview import MaterializedView
+
+    src = _mk_source(spark, str(tmp_path / "src"), layout_col="domain")
+
+    def apply_layout(epoch, upserts, tombstones=()):
+        rows = [
+            {"url": u, "domain": d, "score": s, DEAD_COL: False}
+            for u, d, s in upserts
+        ] + [
+            {"url": u, "domain": d, "score": None, DEAD_COL: True}
+            for u, d in tombstones
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows)[["url", "domain", "score", DEAD_COL]],
+            T.StructType(
+                list(SRC_SCHEMA.fields) + [T.StructField(DEAD_COL, T.BooleanType())]
+            ),
+        )
+        df = df.withColumn(COMMIT_COL, F.lit(epoch).cast("long")).withColumn(
+            "_bucket", src.bucket_expr()
+        )
+        src.commit(src.write_data_files(df, kind="delta"), summary={"epoch_id": epoch})
+
+    apply_layout(
+        0,
+        [("k1", "d0", 1), ("k2", "d0", 2), ("k5", "d1", 5), ("k6", "d2", 6)],
+    )
+    rep = TableReplica.create(spark, str(tmp_path / "rep"), src)
+    rep.bootstrap()
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        rep.table,
+        ["domain"],
+        {
+            "n_pages": ("count", None),
+            "min_score": ("min", "score"),
+            "max_score": ("max", "score"),
+        },
+    )
+    mv.full_build()
+
+    # delete (d1 dies), relocation (d2 -> d0), in-place update: the view
+    # refresh sees retractions in d0/d1/d2 and recomputes them through the
+    # file-pruned read over the replica
+    apply_layout(
+        1,
+        [("k6", "d0", 60), ("k1", "d0", 11)],
+        tombstones=[("k5", "d1"), ("k6", "d2")],
+    )
+    rep.sync()
+    mv.refresh()
+
+    got = {
+        r["domain"]: (r["n_pages"], r["min_score"], r["max_score"])
+        for r in mv.read().collect()
+    }
+    want = {
+        r["domain"]: (r["n_pages"], r["min_score"], r["max_score"])
+        for r in src.read()
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .collect()
+    }
+    assert got == want == {"d0": (3, 2, 60)}
