@@ -48,6 +48,13 @@ _PRIORITY = [
     "wide_sql_node",
     "fk_chain_routing",
     "matview_group_rollup",
+    # r5 flagship surface: changelog-driven table replication and the
+    # approx-distinct (KMV) maintained view — promoted per the r4 pattern
+    # (the round's flagship must carry driver rows); rotated out:
+    # multimodal_frame_sample (family keeps three past-cap pytest rows)
+    # and ann_ivf_blocked (ann_cosine_topk stays in-gate, lsh past cap)
+    "replica_incremental_sync",
+    "matview_approx_distinct",
     # temporal joins
     "asof_join_prior_view",
     "range_join_pair_counts",
@@ -76,7 +83,6 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "ann_ivf_blocked",
     "text_quality_score",
     "text_lang_id",
     "text_repetition_ratio",
@@ -87,7 +93,6 @@ _PRIORITY = [
     "url_canonicalize",
     "domain_cap_topk",
     "dup_span_stats",
-    "multimodal_frame_sample",
     # relational core (TPC-H shapes, joins, aggregations, set ops)
     "q1_pricing_summary",
     "q3_shipping_priority",
