@@ -65,6 +65,12 @@ AGG_MODE = os.environ.get("SPARK_GRAFT_MV_AGGS", "all")
 #: is bucket+zone file-pruned to O(retracted groups) IO (r5 fix for
 #: VERDICT r4 "What's wrong #1")
 LAYOUT = os.environ.get("SPARK_GRAFT_MV_LAYOUT", "key")
+#: "1" maintains the per-(group, value) multiset auxiliaries
+#: (exact_extrema=True): retraction recomputes read the group-clustered
+#: aux instead of the source — O(retracted groups) IO even on layout=key
+#: — at the cost of an extra aux merge per refresh (both sides of the
+#: trade show up in refresh_s / refresh_read_mb)
+EXACT = os.environ.get("SPARK_GRAFT_MV_EXACT", "0") == "1"
 
 SRC_SCHEMA = T.StructType(
     [
@@ -199,7 +205,9 @@ def main():
     for n in SIZES:
         root = tempfile.mkdtemp(prefix=f"tis-mvb-{n}-")
         src = build_source(spark, os.path.join(root, "src"), n)
-        mv = MaterializedView.create(spark, os.path.join(root, "mv"), src, ["g"], AGGS)
+        mv = MaterializedView.create(
+            spark, os.path.join(root, "mv"), src, ["g"], AGGS, exact_extrema=EXACT
+        )
         mv.full_build()
         apply_delta(spark, src, n, K)
 
@@ -231,6 +239,7 @@ def main():
                 "skew": SKEW,
                 "aggs": AGG_MODE,
                 "layout": LAYOUT,
+                "exact": EXACT,
                 "rows": n,
                 "changed_keys": K,
                 "groups_touched": stats["groups"],

@@ -574,3 +574,218 @@ def test_refresh_views_shares_one_changelog_read(spark, tmp_path, monkeypatch):
         .collect()
     }
     assert got2 == want2
+
+
+# ---------------------------------------------------------- exact extrema
+
+AGGS_X = {
+    "n_rows": ("count", None),
+    "sum_val": ("sum", "val"),
+    "min_val": ("min", "val"),
+    "max_val": ("max", "val"),
+    "uniq_id": ("approx_distinct", "id"),
+}
+
+
+def _assert_exact_view_equals_recompute(mv, src):
+    """View (min/max/sum/count + exact-below-k KMV estimate) vs a full
+    recompute; test cardinalities stay under kmv_k so the estimate is the
+    exact distinct count."""
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_val"], r["min_val"], r["max_val"], r["uniq_id"])
+        for r in mv.read().collect()
+    }
+    want = {
+        r["grp"]: (
+            r["n_rows"], r["sum_val"], r["min_val"], r["max_val"], r["uniq_id"]
+        )
+        for r in src.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.countDistinct("id").alias("uniq_id"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_matview_exact_extrema_never_recomputes_from_the_source(
+    spark, tmp_path, monkeypatch
+):
+    """exact_extrema=True maintains per-(group, value) multisets; every
+    retraction recompute (min/max AND the KMV sketch) reads the
+    group-clustered aux tables through the file-pruned point-lookup path
+    — the O(table) source recompute (_recompute_read) never runs —
+    through value updates, group moves, deletes, group death + rebirth,
+    and null groups/values.  (The changelog's own key-restricted preimage
+    read of the source is O(changed keys) and stays, by design.)"""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [("a1", "x", 5), ("a2", "x", 9), ("b1", "y", 3)])
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), src, ["grp"], AGGS_X, exact_extrema=True
+    )
+    mv.full_build()
+    assert set(mv.aux) == {"id", "val"}
+    _assert_exact_view_equals_recompute(mv, src)
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("exact_extrema must not recompute from the source")
+
+    monkeypatch.setattr(MaterializedView, "_recompute_read", forbidden)
+    aux_paths = {a.path for a in mv.aux.values()}
+    pruned_lookups = []
+    real_pl = LakeTable.read_layout_point_lookup
+
+    def spy_pl(table, *a, **k):
+        if table.path in aux_paths:
+            pruned_lookups.append(table.path)
+        return real_pl(table, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "read_layout_point_lookup", spy_pl)
+
+    # max retraction (9 -> 1) + insert
+    _apply(spark, src, 1, [("a3", "x", 2), ("a2", "x", 1), ("c1", "z", 7)])
+    mv.refresh()
+    _assert_exact_view_equals_recompute(mv, src)
+    assert pruned_lookups, "aux recompute must take the file-pruned lookup"
+
+    # group-moving update retracts x's min; z dies; null group + null val
+    # (a null group falls back to the filtered aux read, still never src)
+    _apply(spark, src, 2, [("a3", "y", 2), ("n1", None, None)], deletes=["c1"])
+    mv.refresh()
+    _assert_exact_view_equals_recompute(mv, src)
+    view = {r["grp"]: r for r in mv.read().collect()}
+    assert "z" not in view and view[None]["n_rows"] == 1
+
+    # rebirth + retraction inside the null group
+    _apply(spark, src, 3, [("c9", "z", 11), ("n1", None, 4)])
+    mv.refresh()
+    _apply(spark, src, 4, [], deletes=["n1"])
+    mv.refresh()
+    _assert_exact_view_equals_recompute(mv, src)
+
+    # idempotent no-op
+    assert mv.refresh()["up_to_date"]
+
+
+def test_matview_exact_extrema_sketch_equals_full_build(spark, tmp_path):
+    """The aux-recomputed KMV sketch is bit-identical to a fresh
+    full_build's (the multiset holds exactly the live distinct values, so
+    min-k over it == min-k over the table)."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(f"a{i}", "x", 100 + i) for i in range(8)] + [("b1", "y", 7)])
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp"],
+        {"n_rows": ("count", None), "uniq_val": ("approx_distinct", "val")},
+        kmv_k=4,
+        exact_extrema=True,
+    )
+    mv.full_build()
+    # delete a value that sits in the sketch + a duplicate-value insert
+    _apply(spark, src, 1, [("a9", "x", 101)], deletes=["a0"])
+    mv.refresh()
+    mv2 = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv2"),
+        src,
+        ["grp"],
+        {"n_rows": ("count", None), "uniq_val": ("approx_distinct", "val")},
+        kmv_k=4,
+    )
+    mv2.full_build()
+    got = {r["grp"]: r["uniq_val"] for r in mv.read(with_internal=True).collect()}
+    want = {r["grp"]: r["uniq_val"] for r in mv2.read(with_internal=True).collect()}
+    assert got == want
+
+
+def test_matview_exact_extrema_crash_between_aux_and_view_commit(
+    spark, tmp_path, monkeypatch
+):
+    """Aux tables commit before the view; a crash in that window leaves
+    the aux a snapshot ahead.  The retry must self-heal: the aux catch-up
+    is a watermark no-op, the view applies its window against the
+    already-correct multiset, and the result equals the recompute."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [("a1", "x", 5), ("a2", "x", 9)])
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), src, ["grp"], AGGS_X, exact_extrema=True
+    )
+    mv.full_build()
+    _apply(spark, src, 1, [("a2", "x", 1)], deletes=["a1"])  # retract 9 AND 5
+
+    real_commit = LakeTable.commit
+    state = {"crashed": False}
+
+    def crashing(self, files, **kw):
+        if self.path == mv.table.path and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash after aux commits")
+        return real_commit(self, files, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        mv.refresh()
+    monkeypatch.undo()
+    # aux is ahead of the view; both watermarks converge on the retry
+    assert mv._aux_watermark(mv.aux["val"]) > mv._last_source_snapshot()
+    mv.refresh()
+    assert mv._aux_watermark(mv.aux["val"]) == mv._last_source_snapshot()
+    _assert_exact_view_equals_recompute(mv, src)
+    assert mv.refresh()["up_to_date"]
+
+
+def test_matview_exact_extrema_reload_compaction_and_multi_epoch(spark, tmp_path):
+    """A disk-reloaded exact-extrema view keeps maintaining correctly; a
+    multi-epoch window folds into one refresh; compact() folds the aux
+    delta files too (bounded file counts for long-running streams)."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(f"k{i}", "g" + str(i % 3), i * 10) for i in range(9)])
+    MaterializedView.create(
+        spark, str(tmp_path / "mv"), src, ["grp"], AGGS_X, exact_extrema=True
+    ).full_build()
+
+    mv = MaterializedView(spark, str(tmp_path / "mv"))  # reload from disk
+    assert set(mv.aux) == {"id", "val"}
+    _apply(spark, src, 1, [("k0", "g1", -5)], deletes=["k4"])
+    _apply(spark, src, 2, [("k9", "g0", 500), ("k1", "g1", 11)])
+    mv.refresh()
+    _assert_exact_view_equals_recompute(mv, src)
+
+    aux = mv.aux["val"]
+
+    def n_delta_files(t):
+        snap = t.current_snapshot()
+        return sum(
+            1
+            for ents in snap.files.values()
+            for e in ents
+            if e.get("kind", "base") == "delta"
+        )
+
+    assert n_delta_files(aux) > 0
+    mv.compact()
+    assert n_delta_files(aux) == 0 and n_delta_files(mv.table) == 0
+    _assert_exact_view_equals_recompute(mv, src)
+    _apply(spark, src, 3, [], deletes=["k9"])  # retraction after compaction
+    mv.refresh()
+    _assert_exact_view_equals_recompute(mv, src)
+
+
+def test_matview_exact_extrema_rejects_group_col_extremum(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    with pytest.raises(AssertionError, match="group column"):
+        MaterializedView.create(
+            spark,
+            str(tmp_path / "mv"),
+            src,
+            ["grp"],
+            {"min_grp": ("min", "grp")},
+            exact_extrema=True,
+        )

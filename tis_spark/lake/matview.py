@@ -36,6 +36,18 @@ Maintenance algebra per group g:
   groups) shuffle/agg.  min/max under deletion is fundamentally not
   delta-maintainable without per-(group, value) auxiliary state; the
   recompute-retracted-groups fallback is the standard lake-native trade.
+  ``create(..., exact_extrema=True)`` opts into exactly that auxiliary
+  state (the standard IVM multiset trick): per aggregated column, a lake
+  table of live (group, value) multiplicities — itself count-style
+  delta-maintained from the same changelog, and CLUSTERED BY THE GROUP
+  COLUMN, so a retraction recompute is a bucket + zone-map point lookup
+  into the multiset — O(retracted groups) IO whatever the source's own
+  layout, and the recompute never reads the source after bootstrap (the
+  changelog's key-restricted preimage read, O(changed keys), is the only
+  remaining source IO).  Cost: one extra
+  bucket-restricted merge per refresh per aux column and O(distinct
+  (group, value)) storage; each aux is fenced/watermarked on its own
+  snapshot chain, so a crash between aux and view commits self-heals.
 * ``avg`` is maintained as (double sum, non-null count) and derived at
   ``read()`` — exactly delta-maintainable like sum.
 * ``approx_distinct`` maintains a k-minimum-values sketch (the k
@@ -72,6 +84,7 @@ from pyspark.sql import types as T
 from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
 
 N_COL = "_mv_n"  # maintained group cardinality; also the view's version col
+AUX_N_COL = "_mvx_n"  # multiset multiplicity in an exact-extrema auxiliary
 _SPEC_FILE = "mv.json"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 AGG_FNS = {"count", "sum", "min", "max", "avg", "approx_distinct"}
@@ -107,8 +120,18 @@ class MaterializedView:
         self.aggs: list[tuple[str, str, str | None]] = [tuple(a) for a in spec["aggs"]]
         self.kmv_k: int = int(spec.get("kmv_k", KMV_K))
         self.source = source if source is not None else LakeTable.load(spark, spec["source"])
+        #: exact-extrema multiset auxiliaries: value column -> LakeTable of
+        #: per-(group, value) live multiplicities (see _aux_path)
+        self.aux: dict[str, LakeTable] = {
+            c: LakeTable.load(spark, self._aux_path(path, c))
+            for c in spec.get("aux_cols", [])
+        }
 
     # ------------------------------------------------------------ lifecycle
+
+    @staticmethod
+    def _aux_path(path: str, col: str) -> str:
+        return os.path.join(path, f"aux_{col}")
 
     @staticmethod
     def create(
@@ -119,6 +142,7 @@ class MaterializedView:
         aggs: dict[str, tuple[str, str | None]],
         num_buckets: int = 16,
         kmv_k: int = KMV_K,
+        exact_extrema: bool = False,
     ) -> "MaterializedView":
         """Define the view (no data yet — call ``full_build``).  ``aggs``
         maps output column -> (fn, source column); fn in {approx_distinct,
@@ -126,7 +150,17 @@ class MaterializedView:
         columns must exist in the source schema at create time.  ``avg``
         is stored as its (double sum, non-null count) pair and
         ``approx_distinct`` as its min-``kmv_k`` hash sketch, both derived
-        at ``read()``."""
+        at ``read()``.
+
+        ``exact_extrema=True`` additionally maintains, for every column a
+        min/max/approx_distinct agg reads, a per-(group, value) multiset
+        auxiliary (its own lake table under the view's directory, clustered
+        by the group column) — the standard IVM trick that makes extrema
+        delta-maintainable under deletion.  Retraction recomputes then read
+        O(retracted groups) aux files and never rescan the source (the
+        changelog's O(changed keys) preimage read is the only source IO
+        left), at the cost of one extra bucket-restricted merge per
+        refresh and O(distinct (group, value)) aux storage."""
         src_schema = source.current_snapshot().schema
         src_fields = {f.name: f for f in src_schema.fields}
         for c in group_cols:
@@ -162,6 +196,17 @@ class MaterializedView:
             else:
                 fields.append(T.StructField(out, st))
             norm.append((out, fn, col))
+        aux_cols: list[str] = []
+        if exact_extrema:
+            aux_cols = sorted(
+                {c for _, fn, c in norm if fn in ("min", "max", "approx_distinct")}
+            )
+            clash = [c for c in aux_cols if c in group_cols]
+            assert not clash, (
+                f"exact_extrema cannot track extrema OF a group column {clash} "
+                "(its per-group extremum is the group value itself — drop the "
+                "agg or the option)"
+            )
         LakeTable.create(
             spark,
             path,
@@ -170,6 +215,26 @@ class MaterializedView:
             version_col=N_COL,
             num_buckets=num_buckets,
         )
+        for c in aux_cols:
+            # the multiset: one row per live (group, value), clustered by
+            # the leading group column so a retracted-group recompute is a
+            # bucket + zone-map point lookup — file-pruned BY CONSTRUCTION,
+            # whatever the source's own layout is
+            LakeTable.create(
+                spark,
+                MaterializedView._aux_path(path, c),
+                T.StructType(
+                    [T.StructField(g, src_fields[g].dataType) for g in group_cols]
+                    + [
+                        T.StructField(c, src_fields[c].dataType),
+                        T.StructField(AUX_N_COL, T.LongType()),
+                    ]
+                ),
+                key_cols=list(group_cols) + [c],
+                version_col=AUX_N_COL,
+                num_buckets=num_buckets,
+                layout_col=group_cols[0],
+            )
         with open(os.path.join(path, _SPEC_FILE), "w") as f:
             json.dump(
                 {
@@ -177,6 +242,7 @@ class MaterializedView:
                     "group_cols": list(group_cols),
                     "aggs": norm,
                     "kmv_k": kmv_k,
+                    "aux_cols": aux_cols,
                 },
                 f,
             )
@@ -287,10 +353,23 @@ class MaterializedView:
             st = src_fields.get(col)
             if fn == "approx_distinct":
                 # sketch hashes the string cast of the value: int->long
-                # widening keeps the same rendering, so no drift — only a
-                # dropped column breaks the view
+                # widening keeps the same rendering, so no drift — unless
+                # an exact-extrema auxiliary stores the value in its
+                # create-time physical type (then widening would silently
+                # narrow the multiset, exactly the trap this check exists
+                # for); a dropped column always breaks the view
                 if st is None:
                     drift.append((col, T.ArrayType(T.StringType()), None))
+                elif col in self.aux and not any(
+                    fn2 in ("min", "max") and c2 == col for _, fn2, c2 in self.aggs
+                ):
+                    aux_t = next(
+                        f.dataType
+                        for f in self.aux[col].current_snapshot().schema.fields
+                        if f.name == col
+                    )
+                    if st != aux_t:
+                        drift.append((col, aux_t, st))
                 continue
             if fn in ("sum", "avg"):
                 want = (
@@ -382,6 +461,183 @@ class MaterializedView:
             conds.append(c)
         return full.filter(reduce(Column.__and__, conds))
 
+    # ----------------------------------------- exact-extrema multiset aux
+
+    def _aux_watermark(self, aux: LakeTable) -> int | None:
+        for s in reversed(aux.history()):
+            if "mv_source_snapshot" in s.summary:
+                return int(s.summary["mv_source_snapshot"])
+        return None
+
+    @staticmethod
+    def _aux_next_epoch(aux: LakeTable) -> int:
+        for s in reversed(aux.history()):
+            if "epoch_id" in s.summary:
+                return int(s.summary["epoch_id"]) + 1
+        return 0
+
+    def _aux_full_build(self, aux: LakeTable, col: str, src_snap) -> None:
+        """Bootstrap (or crash-heal) one multiset at ``src_snap`` — the
+        only O(table) source pass this auxiliary ever costs."""
+        tsnap = aux.current_snapshot()
+        rows = (
+            self.source.read(snapshot_id=src_snap.snapshot_id)
+            .filter(F.col(col).isNotNull())
+            .groupBy(*self.group_cols, col)
+            .agg(F.count(F.lit(1)).cast("long").alias(AUX_N_COL))
+        )
+        stamped = (
+            rows.withColumn("_bucket", aux.bucket_expr())
+            .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+        )
+        aux.commit(
+            aux.write_data_files(stamped, kind="base"),
+            summary={"epoch_id": 0, "mv_source_snapshot": src_snap.snapshot_id},
+            expected_snapshot_id=tsnap.snapshot_id,
+        )
+
+    def _refresh_aux(self, aux: LakeTable, col: str, src_snap, pinned=None) -> None:
+        """Catch one multiset up to ``src_snap``: signed (group, value)
+        multiplicity deltas from the preimage changelog, merged
+        bucket-restricted — exactly the view's own count algebra (nulls
+        are not tracked: min/max/KMV all ignore them).  Fenced and
+        watermarked on the AUX's own snapshot chain, so a crash between
+        the aux and view commits self-heals: each table catches up from
+        its own watermark to the shared target, and aux state at snapshot
+        S is a pure function of source state at S."""
+        tsnap = aux.current_snapshot()
+        last = self._aux_watermark(aux)
+        if last is None:
+            self._aux_full_build(aux, col, src_snap)
+            return
+        if src_snap.snapshot_id <= last:
+            return
+        gcols = self.group_cols
+        ch = (
+            pinned[1]
+            if pinned is not None and pinned[2] == last
+            else self.source.changes(last, src_snap.snapshot_id, with_preimage=True)
+        )
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = (
+            ch.filter(F.col(col).isNotNull())
+            .groupBy(*gcols, col)
+            .agg(F.sum(sign).cast("long").alias("_d"))
+            .filter(F.col("_d") != 0)  # value-preserving updates cancel out
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            epoch = self._aux_next_epoch(aux)
+            touched = sorted(
+                int(r["_b"])
+                for r in delta.select(aux.bucket_expr().alias("_b")).distinct().collect()
+            )
+            if not touched:
+                aux.commit(
+                    {},
+                    summary={"epoch_id": epoch, "mv_source_snapshot": src_snap.snapshot_id},
+                    expected_snapshot_id=tsnap.snapshot_id,
+                )
+                return
+            old = aux.read(buckets=touched)
+            merged = delta.join(old, _null_safe_on(delta, old, gcols + [col]), "left")
+            rows = merged.select(
+                *[delta[c].alias(c) for c in gcols],
+                delta[col].alias(col),
+                (F.coalesce(old[AUX_N_COL], F.lit(0)) + delta["_d"]).alias(AUX_N_COL),
+            )
+            stamped = (
+                rows.withColumn("_bucket", aux.bucket_expr())
+                .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+                .withColumn(DEAD_COL, F.col(AUX_N_COL) <= 0)
+            )
+            aux.commit(
+                aux.write_data_files(stamped, kind="delta"),
+                summary={"epoch_id": epoch, "mv_source_snapshot": src_snap.snapshot_id},
+                expected_snapshot_id=tsnap.snapshot_id,
+            )
+        finally:
+            delta.unpersist()
+
+    def _aux_rows_for_groups(self, aux: LakeTable, retr: DataFrame, sample) -> DataFrame:
+        """Live multiset rows for the retracted groups.  The aux is
+        clustered by the leading group column, so within the bounded
+        sample the read is a bucket + zone-map point lookup —
+        O(retracted groups) files by construction; above the cap (or
+        with null groups) it degrades to an aux-table scan, still never
+        the source.  Superset projection; callers semi-join exact."""
+        gcols = self.group_cols
+        if sample is not None:
+            vals = list({r[0] for r in sample})
+            nn = [v for v in vals if v is not None]
+            if nn and None not in vals:
+                return aux.read_layout_point_lookup(aux.current_snapshot(), gcols[0], nn)
+            cond = F.col(gcols[0]).isin(nn) if nn else F.lit(False)
+            if None in vals:
+                cond = cond | F.col(gcols[0]).isNull()
+            return aux.read().filter(cond)
+        return aux.read()
+
+    def _join_aux_recomputes(
+        self, merged: DataFrame, delta: DataFrame, retr: DataFrame, n_retracted: int
+    ) -> DataFrame:
+        """Exact-extrema retraction path: left-join one ``_rec_<out>``
+        column set per aux column onto ``merged``, each recomputed from
+        the multiset instead of the source.  A group retracted to death
+        has no live aux rows and lands null (tombstoned downstream)."""
+        gcols = self.group_cols
+        sample = None
+        if n_retracted <= RETRACTED_GROUPS_MAX:
+            s = retr.limit(RETRACTED_GROUPS_MAX + 1).collect()
+            if len(s) <= RETRACTED_GROUPS_MAX:
+                sample = s
+        by_col: dict[str, list[tuple[str, str]]] = {}
+        for out, fn, c in self.aggs:
+            if fn in ("min", "max", "approx_distinct"):
+                by_col.setdefault(c, []).append((out, fn))
+        for c, outs in by_col.items():
+            rows = self._aux_rows_for_groups(self.aux[c], retr, sample)
+            rows = rows.join(retr, _null_safe_on(rows, retr, gcols), "left_semi")
+            rex = [
+                (F.min(c) if fn == "min" else F.max(c)).alias(f"_rec_{out}")
+                for out, fn in outs
+                if fn != "approx_distinct"
+            ]
+            piece = rows.groupBy(*gcols).agg(*rex) if rex else None
+            for out, fn in outs:
+                if fn != "approx_distinct":
+                    continue
+                name = f"_rec_{out}"
+                sk = self._kmv_sketch(rows, c, name).select(
+                    *[F.col(g).alias(f"_skg_{g}") for g in gcols], name
+                )
+                if piece is None:
+                    piece = sk.select(
+                        *[F.col(f"_skg_{g}").alias(g) for g in gcols], name
+                    )
+                else:
+                    cond = reduce(
+                        Column.__and__,
+                        [piece[g].eqNullSafe(sk[f"_skg_{g}"]) for g in gcols],
+                    )
+                    piece = piece.join(sk, cond, "left").select(
+                        *[piece[x] for x in piece.columns], F.col(name)
+                    )
+            pr = piece.select(
+                *[F.col(g).alias(f"_pg_{g}") for g in gcols],
+                *[x for x in piece.columns if x not in gcols],
+            )
+            cond = reduce(
+                Column.__and__,
+                [delta[g].eqNullSafe(pr[f"_pg_{g}"]) for g in gcols],
+            )
+            merged = merged.join(pr, cond, "left").drop(
+                *[f"_pg_{g}" for g in gcols]
+            )
+        return merged
+
     # ------------------------------------------------------------ full build
 
     def full_build(self) -> None:
@@ -404,6 +660,9 @@ class MaterializedView:
             summary={"epoch_id": 0, "mv_source_snapshot": src_snap.snapshot_id},
             expected_snapshot_id=tsnap.snapshot_id,
         )
+        for c, aux in self.aux.items():
+            if self._aux_watermark(aux) is None:
+                self._aux_full_build(aux, c, src_snap)
 
     # --------------------------------------------------------------- refresh
 
@@ -419,6 +678,13 @@ class MaterializedView:
             max_records_per_file=max_records_per_file,
             expected_snapshot_id=snap.snapshot_id,
         )
+        for aux in self.aux.values():
+            s = aux.current_snapshot()
+            aux.compact(
+                list(range(s.num_buckets)),
+                max_records_per_file=max_records_per_file,
+                expected_snapshot_id=s.snapshot_id,
+            )
 
     def refresh(self, compact_every: int | None = None, _pinned=None) -> dict:
         """Catch the view up to the source's current snapshot from the
@@ -453,6 +719,20 @@ class MaterializedView:
             if _pinned is not None
             else self.source.changes(last_src, src_snap.snapshot_id, with_preimage=True)
         )
+        # exact-extrema auxiliaries catch up FIRST (the retraction branch
+        # reads them at src_snap); one persisted changelog feeds them and
+        # the view delta alike.  Only persist what we created — a _pinned
+        # handle is already persisted by refresh_views.
+        own_persist = bool(self.aux) and _pinned is None
+        if own_persist:
+            ch = ch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for c, aux in self.aux.items():
+                self._refresh_aux(aux, c, src_snap, pinned=(src_snap, ch, last_src))
+        except BaseException:
+            if own_persist:
+                ch.unpersist()
+            raise
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
@@ -532,31 +812,36 @@ class MaterializedView:
 
             old = self.table.read(buckets=touched)
             merged = delta.join(old, _null_safe_on(delta, old, gcols), "left")
-            rec = None
-            if has_extrema and n_retracted > 0:
+            retracting = has_extrema and n_retracted > 0
+            if retracting:
                 # retracted groups: the stored extremum may have left —
-                # recompute them from the snapshot being caught up to,
-                # restricted to exactly those groups.  The read is
+                # recompute them, restricted to exactly those groups.
+                # With exact_extrema auxiliaries the recompute reads the
+                # group-clustered multiset (file-pruned by construction,
+                # zero source IO); otherwise it reads the source snapshot,
                 # file-pruned when the group is the source's layout key /
-                # PK (see _recompute_read); insert-only refreshes never
+                # PK (see _recompute_read).  Insert-only refreshes never
                 # reach here at all.
                 retr = delta.filter(F.col("_retr") == 1).select(*gcols)
-                src_rows = self._recompute_read(src_snap, retr, n_retracted)
-                src_sem = src_rows.join(
-                    retr, _null_safe_on(src_rows, retr, gcols), "left_semi"
-                )
-                rex = [
-                    (F.min(col) if fn == "min" else F.max(col)).alias(f"_rec_{out}")
-                    for out, fn, col in self.aggs
-                    if fn in ("min", "max")
-                ]
-                rec = (
-                    src_sem.groupBy(*gcols).agg(*rex)
-                    if rex
-                    else src_sem.select(*gcols).distinct()
-                )
-                rec = self._join_sketches(rec, src_sem, rename=lambda o: f"_rec_{o}")
-                merged = merged.join(rec, _null_safe_on(delta, rec, gcols), "left")
+                if self.aux:
+                    merged = self._join_aux_recomputes(merged, delta, retr, n_retracted)
+                else:
+                    src_rows = self._recompute_read(src_snap, retr, n_retracted)
+                    src_sem = src_rows.join(
+                        retr, _null_safe_on(src_rows, retr, gcols), "left_semi"
+                    )
+                    rex = [
+                        (F.min(col) if fn == "min" else F.max(col)).alias(f"_rec_{out}")
+                        for out, fn, col in self.aggs
+                        if fn in ("min", "max")
+                    ]
+                    rec = (
+                        src_sem.groupBy(*gcols).agg(*rex)
+                        if rex
+                        else src_sem.select(*gcols).distinct()
+                    )
+                    rec = self._join_sketches(rec, src_sem, rename=lambda o: f"_rec_{o}")
+                    merged = merged.join(rec, _null_safe_on(delta, rec, gcols), "left")
 
             new_n = (F.coalesce(old[N_COL], F.lit(0)) + delta["_d_n"]).alias(N_COL)
             out_cols: list[Column] = [delta[c].alias(c) for c in gcols] + [new_n]
@@ -585,13 +870,13 @@ class MaterializedView:
                         1,
                         self.kmv_k,
                     )
-                    if rec is None:
+                    if not retracting:
                         out_cols.append(gained.alias(out))
                     else:
                         out_cols.append(
                             F.when(
                                 delta["_retr"] == 1,
-                                F.coalesce(rec[f"_rec_{out}"], empty),
+                                F.coalesce(F.col(f"_rec_{out}"), empty),
                             )
                             .otherwise(gained)
                             .alias(out)
@@ -602,12 +887,12 @@ class MaterializedView:
                         if fn == "min"
                         else F.greatest(old[out], delta[f"_ins_{out}"])
                     )
-                    if rec is None:
+                    if not retracting:
                         # no retraction this refresh: pure gain path
                         out_cols.append(gained.alias(out))
                     else:
                         out_cols.append(
-                            F.when(delta["_retr"] == 1, rec[f"_rec_{out}"])
+                            F.when(delta["_retr"] == 1, F.col(f"_rec_{out}"))
                             .otherwise(gained)
                             .alias(out)
                         )
@@ -628,6 +913,8 @@ class MaterializedView:
             return {"groups": int(n_groups), "epoch": epoch, "up_to_date": False}
         finally:
             delta.unpersist()
+            if own_persist:
+                ch.unpersist()
 
     # ----------------------------------------------------------------- read
 

@@ -355,3 +355,89 @@ def matview_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         sz.cast("long").alias("sketch_n"),
         est.alias("uniq_est"),
     )
+
+
+@query(
+    "matview_exact_extrema",
+    f"""
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    ),
+    state AS (
+      SELECT url, ({BASE_S} + seq) * 1000000 AS warc_ts_us, event_type AS lang
+      FROM win WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(min(warc_ts_us) AS BIGINT) AS min_ts_us,
+           CAST(max(warc_ts_us) AS BIGINT) AS max_ts_us,
+           CAST(count(DISTINCT warc_ts_us) AS BIGINT) AS n_versions
+    FROM state GROUP BY lang
+    """,
+)
+def matview_exact_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-extrema (IVM multiset) maintained view, driver-checkable:
+    same half-replay protocol as ``matview_group_rollup``, but the view is
+    created with ``exact_extrema=True``, so every second-half retraction
+    (each update moves its key's lang group) recomputes min/max from the
+    per-(lang, warc_ts) multiset auxiliary — a group-clustered, file-pruned
+    lake read — and the SOURCE is never rescanned
+    (``MaterializedView._recompute_read`` is structurally unreachable,
+    pinned by tests/test_matview.py).  ``n_versions`` counts the live
+    multiset rows per group, proving the auxiliary's own maintained state
+    against DuckDB's count(DISTINCT): timestamps are unique per key here,
+    so the multiset cardinality is directly checkable.  A green hash
+    therefore verifies BOTH the view outputs and the auxiliary they were
+    derived from.
+
+    Reference contrast: TIS rebuilds derived artifacts with full passes
+    (tis-index-builder IndexSwapTaskFlowLauncher.java); the multiset is
+    what makes min/max-under-deletion O(changed keys) at 100 TB.
+    """
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.lake.matview import AUX_N_COL, MaterializedView
+
+    table_dir = tempfile.mkdtemp(prefix="tis-mvxq-")
+    changes = derived_changes(spark, sf_dir)
+    max_seq = changes.agg(F.max("seq")).first()[0]
+    ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
+    half = ep * max(1, max_seq // (2 * ep))
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    ingest.replay(changes.filter(F.col("seq") < half), epoch_size=ep)
+    mv = MaterializedView.create(
+        spark,
+        table_dir + "_mv",
+        ingest.table,
+        ["lang"],
+        {"n_pages": ("count", None), "min_ts": ("min", "warc_ts"), "max_ts": ("max", "warc_ts")},
+        exact_extrema=True,
+    )
+    mv.full_build()
+    ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
+    mv.refresh()
+    view = mv.read().select(
+        "lang",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.unix_micros("min_ts").alias("min_ts_us"),
+        F.unix_micros("max_ts").alias("max_ts_us"),
+    )
+    aux_counts = (
+        mv.aux["warc_ts"]
+        .read()
+        .filter(F.col(AUX_N_COL) > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_versions"))
+    )
+    return view.join(aux_counts, "lang")
