@@ -53,6 +53,11 @@ GROUPS = int(os.environ.get("SPARK_GRAFT_MV_GROUPS", "10000"))
 #: domains).  Hash-random group membership (recent/uniform) scatters even
 #: 20k retracted groups across every base file, so group-side file
 #: pruning cannot engage; "grouped" is the shape it exists for.
+#: "purge" = "grouped" with group moves suppressed on EVERY layout (a
+#: domain purge deletes/updates the domain's pages, it does not relocate
+#: them): the retracted-group set stays contiguous, which is what lets
+#: group-side file pruning (layout=group, or the exact-extrema multiset
+#: on any layout) engage fully.
 SKEW = os.environ.get("SPARK_GRAFT_MV_SKEW", "uniform")
 #: "all" = count/sum/min/max (extrema force the retraction recompute on
 #: retracting refreshes); "sums" = count/sum only (pure delta-maintainable
@@ -133,7 +138,7 @@ def apply_delta(spark, t, n, k):
     key's CURRENT bucket, so they keep the original g instead of null."""
     if SKEW == "recent":
         ch = spark.range(k).select((F.col("id") + (n - k)).alias("id"))
-    elif SKEW == "grouped":
+    elif SKEW in ("grouped", "purge"):
         # every key whose group falls in the lowest ~k*GROUPS/n groups:
         # ~k keys over a contiguous group range (domain-purge locality)
         glo = max(1, (k * GROUPS) // n)
@@ -145,7 +150,7 @@ def apply_delta(spark, t, n, k):
     orig_g = F.pmod(F.xxhash64("id"), F.lit(GROUPS))
     moved_g = (
         orig_g
-        if LAYOUT == "group"
+        if LAYOUT == "group" or SKEW == "purge"
         else F.when(F.col("id") % 4 == 1, F.pmod(F.xxhash64("id", F.lit(9)), F.lit(GROUPS))).otherwise(orig_g)
     )
     up = ch.select(

@@ -514,7 +514,11 @@ def test_refresh_views_shares_one_changelog_read(spark, tmp_path, monkeypatch):
 
     src = _mk_source(spark, str(tmp_path / "src"))
     _apply(spark, src, 0, [(f"k{i}", "ab"[i % 2], i * 10) for i in range(8)])
-    mv1 = MaterializedView.create(spark, str(tmp_path / "mv1"), src, ["grp"], AGGS)
+    # exact_extrema on mv1: the aux maintenance must ride the SAME pinned
+    # window — attached multiset views add zero extra changes() reads
+    mv1 = MaterializedView.create(
+        spark, str(tmp_path / "mv1"), src, ["grp"], AGGS, exact_extrema=True
+    )
     mv2 = MaterializedView.create(
         spark,
         str(tmp_path / "mv2"),
@@ -777,6 +781,18 @@ def test_matview_exact_extrema_reload_compaction_and_multi_epoch(spark, tmp_path
     mv.refresh()
     _assert_exact_view_equals_recompute(mv, src)
 
+    # lake GC sweeps the aux chains too, and never disturbs state or the
+    # watermark (a dry run first, then the real expiry)
+    dry = mv.expire_snapshots(keep_last=1, dry_run=True)
+    assert dry["aux_val"]["expired_snapshots"] > 0
+    rep = mv.expire_snapshots(keep_last=1)
+    assert rep["aux_val"]["expired_snapshots"] == dry["aux_val"]["expired_snapshots"]
+    _assert_exact_view_equals_recompute(mv, src)
+    assert mv._aux_watermark(aux) == mv._last_source_snapshot()
+    _apply(spark, src, 4, [("k4", "g2", 77)], deletes=["k5"])
+    mv.refresh()  # maintenance continues across the GC
+    _assert_exact_view_equals_recompute(mv, src)
+
 
 def test_matview_exact_extrema_rejects_group_col_extremum(spark, tmp_path):
     src = _mk_source(spark, str(tmp_path / "src"))
@@ -789,3 +805,37 @@ def test_matview_exact_extrema_rejects_group_col_extremum(spark, tmp_path):
             {"min_grp": ("min", "grp")},
             exact_extrema=True,
         )
+
+
+def test_matview_exact_extrema_aux_lookup_is_file_pruned(spark, tmp_path, monkeypatch):
+    """The multiset auxiliary is group-sorted into bounded files with zone
+    maps, so a retracted-group lookup opens only the files whose group
+    range intersects the wanted set — the file-pruning that holds for ANY
+    source layout (the whole point of exact_extrema)."""
+    import tis_spark.lake.matview as mvmod
+
+    monkeypatch.setattr(mvmod, "AUX_FILE_ROWS", 16)  # force multi-file bases
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(
+        spark, src, 0, [(f"k{i}", f"g{i % 16:02d}", i * 10) for i in range(640)]
+    )
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp"],
+        {"n": ("count", None), "mx": ("max", "val")},
+        exact_extrema=True,
+    )
+    mv.full_build()
+    aux = mv.aux["val"]
+    snap = aux.current_snapshot()
+    all_files = [e["path"] for ents in snap.files.values() for e in ents]
+    assert len(all_files) > snap.num_buckets  # multi-file per bucket engaged
+
+    retr = spark.createDataFrame([("g03",)], "grp string")
+    pruned = mv._aux_rows_for_groups(aux, retr, [("g03",)])
+    opened = pruned.inputFiles()
+    assert 0 < len(opened) < len(all_files), (len(opened), len(all_files))
+    # the pruned read holds the wanted group's entire multiset
+    assert pruned.filter(F.col("grp") == "g03").count() == 40

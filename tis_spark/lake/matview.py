@@ -94,6 +94,18 @@ KMV_K = 256
 #: changelog's preimage_keys_max): within the cap the min/max recompute
 #: read is key-restricted; above it, the column-pruned scan-plus-semi-join
 RETRACTED_GROUPS_MAX = 65536
+#: max rows per exact-extrema auxiliary base file: the multiset is sorted
+#: by group inside each bucket, and bounded files are what give each file
+#: a tight [group_min, group_max] zone — one unbounded file per bucket
+#: would span the whole group range and nothing could prune.  A
+#: group-restricted read costs O(wanted groups' files), so this bounds the
+#: read granularity; 1M rows of the 2-3 narrow columns is a few MB of
+#: parquet.  Measured (bench_matview.py, 64M-row source): finer files did
+#: NOT read less — a single hash-scattered wanted group per file defeats
+#: zone pruning at any granularity, and bigger files amortize parquet
+#: overhead — so the default stays coarse; env-tunable for group-local
+#: workloads (domain purges) where finer zones do pay.
+AUX_FILE_ROWS = int(os.environ.get("TIS_MV_AUX_FILE_ROWS", 1_000_000))
 
 
 def _nn(out: str) -> str:
@@ -486,13 +498,20 @@ class MaterializedView:
             .groupBy(*self.group_cols, col)
             .agg(F.count(F.lit(1)).cast("long").alias(AUX_N_COL))
         )
+        snap = aux.current_snapshot()
         stamped = (
             rows.withColumn("_bucket", aux.bucket_expr())
             .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
             .withColumn(DEAD_COL, F.lit(False))
+            # group-sorted bounded base files -> tight per-file zone maps,
+            # so group-restricted reads (merge + recompute) prune files
+            .repartition(snap.num_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", self.group_cols[0])
         )
         aux.commit(
-            aux.write_data_files(stamped, kind="base"),
+            aux.write_data_files(
+                stamped, kind="base", max_records_per_file=AUX_FILE_ROWS
+            ),
             summary={"epoch_id": 0, "mv_source_snapshot": src_snap.snapshot_id},
             expected_snapshot_id=tsnap.snapshot_id,
         )
@@ -530,18 +549,36 @@ class MaterializedView:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             epoch = self._aux_next_epoch(aux)
-            touched = sorted(
-                int(r["_b"])
-                for r in delta.select(aux.bucket_expr().alias("_b")).distinct().collect()
+            # ONE bounded collect of the changed groups' leading values:
+            # within the cap the merge's old read is a zone-map point
+            # lookup into the group-sorted multiset (O(changed groups)
+            # files — the superset is exact-ed by the left join below);
+            # above it / with null groups, bucket-restricted fallback.
+            g0 = gcols[0]
+            sample = (
+                delta.select(g0).distinct().limit(RETRACTED_GROUPS_MAX + 1).collect()
             )
-            if not touched:
+            if not sample:
                 aux.commit(
                     {},
                     summary={"epoch_id": epoch, "mv_source_snapshot": src_snap.snapshot_id},
                     expected_snapshot_id=tsnap.snapshot_id,
                 )
                 return
-            old = aux.read(buckets=touched)
+            vals = [r[0] for r in sample]
+            if len(vals) <= RETRACTED_GROUPS_MAX and None not in vals:
+                # the isin ALSO pushes to the parquet scan, so row-group
+                # stats prune inside the zone-surviving files (the base is
+                # group-sorted, so row groups have tight ranges too)
+                old = aux.read_layout_point_lookup(
+                    aux.current_snapshot(), g0, vals
+                ).filter(F.col(g0).isin(vals))
+            else:
+                touched = sorted(
+                    int(r["_b"])
+                    for r in delta.select(aux.bucket_expr().alias("_b")).distinct().collect()
+                )
+                old = aux.read(buckets=touched)
             merged = delta.join(old, _null_safe_on(delta, old, gcols + [col]), "left")
             rows = merged.select(
                 *[delta[c].alias(c) for c in gcols],
@@ -573,7 +610,9 @@ class MaterializedView:
             vals = list({r[0] for r in sample})
             nn = [v for v in vals if v is not None]
             if nn and None not in vals:
-                return aux.read_layout_point_lookup(aux.current_snapshot(), gcols[0], nn)
+                return aux.read_layout_point_lookup(
+                    aux.current_snapshot(), gcols[0], nn
+                ).filter(F.col(gcols[0]).isin(nn))
             cond = F.col(gcols[0]).isin(nn) if nn else F.lit(False)
             if None in vals:
                 cond = cond | F.col(gcols[0]).isNull()
@@ -680,11 +719,24 @@ class MaterializedView:
         )
         for aux in self.aux.values():
             s = aux.current_snapshot()
+            # keep aux base files bounded even when the view compacts
+            # unbounded: tight zone maps are what the multiset is FOR
             aux.compact(
                 list(range(s.num_buckets)),
-                max_records_per_file=max_records_per_file,
+                max_records_per_file=max_records_per_file or AUX_FILE_ROWS,
                 expected_snapshot_id=s.snapshot_id,
             )
+
+    def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
+        """Lake GC over the view AND its exact-extrema auxiliaries (a
+        long-running stream otherwise grows one snapshot per refresh in
+        each).  Watermark-safe: every refresh commit carries ``epoch_id``
+        together with ``mv_source_snapshot``, and the newest ``epoch_id``
+        carrier is always retained by ``LakeTable.expire_snapshots``."""
+        report = {"view": self.table.expire_snapshots(keep_last, dry_run=dry_run)}
+        for c, aux in self.aux.items():
+            report[f"aux_{c}"] = aux.expire_snapshots(keep_last, dry_run=dry_run)
+        return report
 
     def refresh(self, compact_every: int | None = None, _pinned=None) -> dict:
         """Catch the view up to the source's current snapshot from the
