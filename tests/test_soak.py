@@ -113,6 +113,10 @@ def test_star_long_run_soak(spark, tmp_path_factory):
             "fee_sum": ("sum", "pay_fee"),
             "max_version": ("max", "version"),
         },
+        # months-running shape for the multiset auxiliaries too: their
+        # per-refresh delta chains must stay bounded under the same
+        # compact_every/GC cadence as the view itself
+        exact_extrema=True,
     )
     mv.full_build()
 
@@ -157,7 +161,10 @@ def test_star_long_run_soak(spark, tmp_path_factory):
         if ep % 10 == 9:  # periodic lake GC, like a maintenance cron
             gc_reports.append(pipe.expire(keep_last=GC_KEEP_LAST))
             gc_reports.append(
-                {"entity_mv": mv.table.expire_snapshots(keep_last=GC_KEEP_LAST)}
+                {
+                    f"entity_mv_{k}": v
+                    for k, v in mv.expire_snapshots(keep_last=GC_KEEP_LAST).items()
+                }
             )
             if early_parquet is None:
                 early_parquet = _n_parquet(root)
@@ -166,7 +173,12 @@ def test_star_long_run_soak(spark, tmp_path_factory):
     gc_reports.append(final_gc)
 
     # ---- bounded metadata & storage ------------------------------------
-    for name, lake in [*pipe.sources.items(), ("wide", pipe.wide), ("entity_mv", mv.table)]:
+    for name, lake in [
+        *pipe.sources.items(),
+        ("wide", pipe.wide),
+        ("entity_mv", mv.table),
+        *((f"entity_mv_aux_{c}", a) for c, a in mv.aux.items()),
+    ]:
         snap = lake.current_snapshot()
         # compaction keeps per-bucket delta fan-in at threshold + the
         # epochs that landed since the last compaction check
