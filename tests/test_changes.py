@@ -370,3 +370,65 @@ def test_changes_composite_key_fast_path(spark, tmp_path, monkeypatch):
     assert got[("u20", "a", "insert")] == 1
     assert ("u3", "b", "update_postimage") not in got  # sibling untouched
     assert len(got) == 6  # 2 updates x (pre+post) + 1 delete + 1 insert
+
+
+def test_read_and_changes_are_null_key_safe(spark, tmp_path):
+    """A NULL key member is a legal key value for group-keyed tables
+    (materialized views and their multiset auxiliaries key on GROUP BY
+    columns, and SQL groups include NULL).  The base-shadows-delta
+    reconciliation and every changes() key join must therefore compare
+    keys null-safely: with a plain name-join a NULL-keyed tombstone could
+    never shadow its base row (the key surfaces twice / deletes are
+    lost), and the classify join would misreport a NULL-keyed update as
+    an insert."""
+    from pyspark.sql import types as T
+
+    from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k1", T.StringType()),
+            T.StructField("k2", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["k1", "k2"], version_col="v"
+    )
+
+    def commit(epoch, rows, kind="delta"):
+        df = (
+            spark.createDataFrame(
+                rows, T.StructType(list(schema.fields) + [T.StructField(DEAD_COL, T.BooleanType())])
+            )
+            .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+            .withColumn("_bucket", t.bucket_expr())
+        )
+        t.commit(t.write_data_files(df, kind=kind), summary={"epoch_id": epoch})
+
+    # BASE generation holding NULL-keyed rows (the full-build shape)
+    commit(-1, [("a", None, 1, False), (None, None, 2, False), ("a", "x", 3, False)], kind="base")
+    s0 = t.current_snapshot().snapshot_id
+
+    # delta: update one NULL-keyed row, tombstone the other
+    commit(1, [("a", None, 10, False), (None, None, None, True)])
+
+    state = {(r["k1"], r["k2"]): r["v"] for r in t.read().collect()}
+    assert state == {("a", None): 10, ("a", "x"): 3}  # no dup, no survivor
+
+    ch = t.changes(s0, with_preimage=True)
+    got = {(r["k1"], r["k2"], r["_change_type"]): r["v"] for r in ch.collect()}
+    assert got == {
+        ("a", None, "update_preimage"): 1,
+        ("a", None, "update_postimage"): 10,
+        (None, None, "delete"): 2,  # preimage payload carried
+    }
+
+    # compaction folds the tombstone away; the delete-fallback key diff
+    # must still witness the NULL-keyed delete null-safely
+    t.compact(list(range(t.current_snapshot().num_buckets)))
+    commit(2, [("a", "x", 4, False)])
+    ch2 = t.changes(s0, with_preimage=True)
+    got2 = {(r["k1"], r["k2"], r["_change_type"]): r["v"] for r in ch2.collect()}
+    assert got2[(None, None, "delete")] == 2
+    assert got2[("a", "x", "update_postimage")] == 4

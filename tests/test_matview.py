@@ -839,3 +839,87 @@ def test_matview_exact_extrema_aux_lookup_is_file_pruned(spark, tmp_path, monkey
     assert 0 < len(opened) < len(all_files), (len(opened), len(all_files))
     # the pruned read holds the wanted group's entire multiset
     assert pruned.filter(F.col("grp") == "g03").count() == 40
+
+
+def test_matview_exact_extrema_multi_column_groups(spark, tmp_path, monkeypatch):
+    """Multi-column groups ride the same multiset machinery: the aux is
+    keyed on (g1, g2, value) and clustered by the LEADING group column,
+    the merge/recompute lookups restrict on it, and the exact semi-joins
+    use the full null-safe group tuple (null group members included)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("flag", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, key_cols=["id"], version_col="val"
+    )
+
+    def apply(epoch, upserts, deletes=()):
+        rows = [
+            {"id": i, "grp": g, "flag": f, "val": v, DEAD_COL: False}
+            for i, g, f, v in upserts
+        ] + [
+            {"id": i, "grp": None, "flag": None, "val": None, DEAD_COL: True}
+            for i in deletes
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows),
+            T.StructType(list(schema.fields) + [T.StructField(DEAD_COL, T.BooleanType())]),
+        ).withColumn(COMMIT_COL, F.lit(epoch).cast("long")).withColumn(
+            "_bucket", src.bucket_expr()
+        )
+        src.commit(src.write_data_files(df, kind="delta"), summary={"epoch_id": epoch})
+
+    def check(mv):
+        got = {
+            (r["grp"], r["flag"]): (r["n"], r["mn"], r["mx"])
+            for r in mv.read().collect()
+        }
+        want = {
+            (r["grp"], r["flag"]): (r["n"], r["mn"], r["mx"])
+            for r in src.read()
+            .groupBy("grp", "flag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("val").alias("mn"),
+                F.max("val").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    apply(0, [("a", "x", "p", 5), ("b", "x", "q", 9), ("c", "y", None, 3), ("d", "x", "p", 7)])
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp", "flag"],
+        {"n": ("count", None), "mn": ("min", "val"), "mx": ("max", "val")},
+        exact_extrema=True,
+    )
+    mv.full_build()
+    check(mv)
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("multi-col exact_extrema must not read the source")
+
+    monkeypatch.setattr(MaterializedView, "_recompute_read", forbidden)
+    # retract (x,p)'s max via update; move b across the SECOND group col;
+    # retract inside the null-flag group; death + rebirth
+    apply(1, [("d", "x", "p", 1), ("b", "x", "p", 2), ("e", "y", None, 11)])
+    mv.refresh()
+    check(mv)
+    apply(2, [("c", "y", None, -4)], deletes=["e"])
+    mv.refresh()
+    check(mv)
+    apply(3, [], deletes=["a", "b", "d"])  # (x,p) dies
+    mv.refresh()
+    check(mv)
+    apply(4, [("f", "x", "p", 42)])  # rebirth
+    mv.refresh()
+    check(mv)
+    assert mv.refresh()["up_to_date"]

@@ -50,7 +50,7 @@ from dataclasses import dataclass
 from functools import reduce
 from urllib.parse import unquote, urlparse
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -492,21 +492,30 @@ class LakeTable:
                 # equal _commit, the same-epoch relocation pair (base rows
                 # are always alive; initial-build bases stamp _commit = -1
                 # so they never tie with a real epoch).
+                # key columns renamed + eqNullSafe: a NULL key member is a
+                # legal key value for group-keyed tables (matview/aux), and
+                # a plain name-join would never match it — the tombstone
+                # could not shadow its base row and the key would surface
+                # twice.  For non-null keys this is the identical equi-join.
                 dkeys = delta.select(
-                    *key,
+                    *[F.col(c).alias(f"_dk_{c}") for c in key],
                     F.col(COMMIT_COL).alias("_d_commit"),
                     F.coalesce(F.col(DEAD_COL), F.lit(False)).alias("_d_dead"),
                     F.lit(True).alias("_d_present"),
                 )
                 if self._entries_bytes(delta_entries) <= BROADCAST_DELTA_MAX_BYTES:
                     dkeys = F.broadcast(dkeys)
+                cond = reduce(
+                    Column.__and__,
+                    [base[c].eqNullSafe(dkeys[f"_dk_{c}"]) for c in key],
+                )
                 keep = F.col("_d_present").isNull() | (
                     F.col("_d_dead") & (F.col(COMMIT_COL) >= F.col("_d_commit"))
                 )
                 merged = (
-                    base.join(dkeys, key, "left")
+                    base.join(dkeys, cond, "left")
                     .filter(keep)
-                    .drop("_d_commit", "_d_dead", "_d_present")
+                    .drop("_d_commit", "_d_dead", "_d_present", *[f"_dk_{c}" for c in key])
                     .unionByName(alive)
                 )
             else:
@@ -715,8 +724,14 @@ class LakeTable:
             # most len(changed_keys) old rows and plan as broadcast joins —
             # without this, joining changed rows against an old side too
             # big to broadcast shuffles the whole old key set (O(table)
-            # shuffle for a trigger-sized window)
-            return wide.join(F.broadcast(kdf), key, "left_semi")
+            # shuffle for a trigger-sized window).  eqNullSafe on renamed
+            # key cols: group-keyed tables may hold NULL key members.
+            kdf = kdf.select(*[F.col(c).alias(f"_k_{c}") for c in key])
+            cond = reduce(
+                Column.__and__,
+                [wide[c].eqNullSafe(kdf[f"_k_{c}"]) for c in key],
+            )
+            return wide.join(F.broadcast(kdf), cond, "left_semi")
 
         old_state = _old_read() if need_old_keys else None
         old_keys = old_state.select(*key) if need_old_keys else None
@@ -754,7 +769,7 @@ class LakeTable:
             # old snapshot per branch (3-4 O(table) scans per call).
             payload = [c for c in out_fields if c not in key]
             old_side = old_aligned.select(
-                *key,
+                *[F.col(c).alias(f"_ok_{c}") for c in key],
                 *[F.col(c).alias(f"_o_{c}") for c in payload],
                 F.lit(True).alias("_o_present"),
             )
@@ -778,7 +793,14 @@ class LakeTable:
                         est = None
                     if est is not None and est <= PREIMAGE_BROADCAST_MAX_BYTES:
                         old_side = F.broadcast(old_side)
-            lj = latest.join(old_side, key, "left")
+            lj = latest.join(
+                old_side,
+                reduce(
+                    Column.__and__,
+                    [latest[c].eqNullSafe(old_side[f"_ok_{c}"]) for c in key],
+                ),
+                "left",
+            )
             present = F.coalesce(F.col("_o_present"), F.lit(False))
             epoch_col = F.col(COMMIT_COL).alias("_change_epoch")
             pre_fields = [
@@ -837,11 +859,28 @@ class LakeTable:
             # folded-away tombstones can no longer witness deletes: fall
             # back to the whole-table key diff (changed_keys is None here,
             # so old_keys/old_aligned are full reads by construction)
-            new_keys = self.read(snapshot_id=new_snap.snapshot_id).select(*key)
-            gone = old_keys.join(new_keys, key, "left_anti")
+            new_keys = self.read(snapshot_id=new_snap.snapshot_id).select(
+                *[F.col(c).alias(f"_nk_{c}") for c in key]
+            )
+            gone = old_keys.join(
+                new_keys,
+                reduce(
+                    Column.__and__,
+                    [old_keys[c].eqNullSafe(new_keys[f"_nk_{c}"]) for c in key],
+                ),
+                "left_anti",
+            )
+            gone_r = gone.select(*[F.col(c).alias(f"_g_{c}") for c in key])
             if with_preimage:
                 parts.append(
-                    old_aligned.join(gone, key, "left_semi").select(
+                    old_aligned.join(
+                        gone_r,
+                        reduce(
+                            Column.__and__,
+                            [old_aligned[c].eqNullSafe(gone_r[f"_g_{c}"]) for c in key],
+                        ),
+                        "left_semi",
+                    ).select(
                         *out_fields,
                         ctype("delete").alias("_change_type"),
                         F.lit(None).cast("long").alias("_change_epoch"),
