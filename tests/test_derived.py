@@ -1,0 +1,203 @@
+"""Incrementally-maintained derived indexes (lake/derived.py): a lake
+table of transform-expanded rows (token postings, MinHash-LSH bands)
+maintained purely from the source table's snapshot-diff changelog — the
+reference's full-rebuild index build (tis-index-builder
+IndexBuilderTask.java pipelines EVERY source row per build; backflow then
+copies the whole artifact) made incremental.  Pins: maintained state ==
+fresh transform of the source state through epochs with updates, deletes
+and insert+delete-inside-a-window; the survivor rule (a posting whose
+derived key is unchanged by the update keeps its live copy against the
+same-epoch tombstone); the above-cap scan-plus-semi-join fallback; the
+schema-drift loud failure; duplicate syncs as watermark no-ops."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import tis_spark.operators.indexing  # noqa: F401 — registers the transforms
+from tis_spark.lake.derived import TRANSFORMS, DerivedIndex
+from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.LongType()),
+    ]
+)
+
+
+def _mk_source(spark, path):
+    return LakeTable.create(
+        spark, path, SRC_SCHEMA, key_cols=["doc_id"], version_col="score"
+    )
+
+
+def _apply(spark, t, epoch, upserts, deletes=()):
+    names = [f.name for f in SRC_SCHEMA.fields]
+    rows = [
+        {**dict(zip(names, vals)), DEAD_COL: False} for vals in upserts
+    ] + [
+        {**{n: None for n in names}, "doc_id": d, DEAD_COL: True} for d in deletes
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows)[names + [DEAD_COL]],
+        T.StructType(list(SRC_SCHEMA.fields) + [T.StructField(DEAD_COL, T.BooleanType())]),
+    )
+    df = df.withColumn(COMMIT_COL, F.lit(epoch).cast("long")).withColumn(
+        "_bucket", t.bucket_expr()
+    )
+    t.commit(t.write_data_files(df, kind="delta"), summary={"epoch_id": epoch})
+
+
+def _state(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _expect(src, transform):
+    return _state(TRANSFORMS[transform](src.read()))
+
+
+def test_postings_index_tracks_source_through_epochs(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(1, "the quick fox", 1), (2, "the lazy dog", 2), (3, "fox dog fox", 3)])
+
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    idx.bootstrap()
+    assert _state(idx.read()) == _expect(src, "token_postings")
+    # tf aggregation inside the transform: doc 3 has fox twice
+    assert idx.read().filter((F.col("doc_id") == 3) & (F.col("tok") == "fox")).first()["tf"] == 2
+
+    # update doc 1 keeping a token (survivor) + insert doc 4
+    _apply(spark, src, 1, [(1, "the slow fox", 10), (4, "new dog", 4)])
+    out = idx.sync()
+    assert not out["up_to_date"] and out["keys"] == 2 and out["files"] > 0
+    assert _state(idx.read()) == _expect(src, "token_postings")
+    # survivor rule: (1, 'the') and (1, 'fox') re-derived in the same epoch
+    # as their tombstones — alive-over-dead at equal _commit keeps exactly
+    # one live copy; the dropped token 'quick' is gone
+    surv = idx.read().filter(F.col("doc_id") == 1)
+    assert sorted(r["tok"] for r in surv.collect()) == ["fox", "slow", "the"]
+
+    # delete + insert; then a multi-epoch window with a ghost doc
+    # (insert AND delete inside one sync window — must be a no-op)
+    _apply(spark, src, 2, [(5, "quick quick", 5)], deletes=[2])
+    idx.sync()
+    assert _state(idx.read()) == _expect(src, "token_postings")
+
+    _apply(spark, src, 3, [(9, "ghost doc", 9), (1, "final fox text", 11)])
+    _apply(spark, src, 4, [(6, "dog", 6)], deletes=[9, 3])
+    idx.sync()
+    assert _state(idx.read()) == _expect(src, "token_postings")
+    assert idx.read().filter(F.col("doc_id") == 9).count() == 0
+
+    # duplicate sync: watermark no-op, snapshot unchanged
+    before = idx.table.current_snapshot().snapshot_id
+    assert idx.sync()["up_to_date"]
+    assert idx.table.current_snapshot().snapshot_id == before
+
+    # load() round-trip finds source + transform again
+    idx2 = DerivedIndex.load(spark, str(tmp_path / "idx"))
+    assert _state(idx2.read()) == _expect(src, "token_postings")
+
+
+def test_postings_sync_above_cap_falls_back_to_semi_join(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(i, f"tok{i} common", i) for i in range(20)])
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    idx.bootstrap()
+    _apply(spark, src, 1, [(i, f"tok{i} changed", 100 + i) for i in range(0, 20, 2)], deletes=[1, 3])
+    out = idx.sync(derived_keys_max=4)  # 12 changed keys > cap
+    assert out["keys"] is None  # fallback path taken
+    assert _state(idx.read()) == _expect(src, "token_postings")
+
+
+def test_minhash_band_index_matches_batch_rebuild(spark, tmp_path):
+    from tis_spark.operators.mlops import minhash_band_rows
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(
+        spark, src, 0,
+        [(i, f"w{i % 3} w{i % 5} w{i % 7} shared tail", i) for i in range(12)],
+    )
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "minhash_bands", ["doc_id", "band_idx"]
+    )
+    idx.bootstrap()
+    _apply(spark, src, 1, [(2, "w2 w2 w2 drifted", 20), (12, "w0 w2 w5 shared tail", 12)], deletes=[7])
+    idx.sync()
+
+    # maintained band store == batch rebuild over the final source state
+    dt = src.read().select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    assert _state(idx.read()) == _state(minhash_band_rows(dt))
+
+    # and the store is queryable the way the dedup pipeline uses it:
+    # same-bucket candidate pairs from the MAINTAINED table equal pairs
+    # from the fresh signatures
+    def pairs(bands):
+        a, b = bands.alias("a"), bands.alias("b")
+        return _state(
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .agg(F.count("*").alias("nb"))
+        )
+
+    assert pairs(idx.read()) == pairs(minhash_band_rows(dt))
+
+
+def test_sync_requires_bootstrap_and_key_leads_with_source_key(spark, tmp_path):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(1, "a b", 1)])
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        idx.sync()
+    with pytest.raises(AssertionError, match="lead with the source key"):
+        DerivedIndex.create(
+            spark, str(tmp_path / "idx2"), src, "token_postings", ["tok", "doc_id"]
+        )
+
+
+def test_load_requires_registered_transform(spark, tmp_path, monkeypatch):
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(1, "a b", 1)])
+    DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    monkeypatch.delitem(TRANSFORMS, "token_postings")
+    with pytest.raises(KeyError, match="not registered"):
+        DerivedIndex.load(spark, str(tmp_path / "idx"))
+
+
+def test_transform_schema_drift_fails_loudly(spark, tmp_path, monkeypatch):
+    """A transform whose output schema no longer matches the schema frozen
+    at create() must raise, not let write_data_files cast silently."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(1, "a b", 1)])
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    idx.bootstrap()
+    drifted = lambda df: TRANSFORMS["minhash_bands"](df).withColumnRenamed(  # noqa: E731
+        "band_val", "tf"
+    ).withColumnRenamed("band_idx", "tok")
+    monkeypatch.setitem(TRANSFORMS, "token_postings", drifted)
+    idx.transform = drifted
+    _apply(spark, src, 1, [(2, "c d", 2)])
+    with pytest.raises(TypeError, match="drifted"):
+        idx.sync()

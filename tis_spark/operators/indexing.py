@@ -155,3 +155,41 @@ def index_backflow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split("postings", ";")).alias("_d"), "tok"
     ).select(F.col("_d").cast("bigint").alias("doc_id"), "tok")
     return back.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+
+
+# --------------------------------------------------------------------------
+# Incrementally-maintained index transforms (lake/derived.py).
+#
+# The reference rebuilds its index artifact in FULL per build
+# (IndexBuilderTask pipelines every row through LuceneDocMaker every
+# time); DerivedIndex maintains the same artifacts from the source
+# table's changelog in O(changed keys) per sync.  These two registered
+# transforms cover the reference's artifact shapes: token postings (the
+# inverted-index rows S10 builds) and MinHash-LSH band signatures (the
+# near-dup index the curation pipeline buckets on).  Both assume the
+# documents-table convention (``doc_id`` key + ``text``) and are pure
+# per-source-row expansions, the DerivedIndex transform contract.
+
+from tis_spark.lake.derived import derived_transform  # noqa: E402
+from tis_spark.operators.mlops import minhash_band_rows  # noqa: E402
+
+
+@derived_transform("token_postings")
+def _t_token_postings(src: DataFrame) -> DataFrame:
+    """doc -> one row per (doc_id, tok) with term frequency.  groupBy is
+    per-document (doc_id leads the key), so applying the transform to a
+    changed-keys subset yields exactly those documents' postings."""
+    return (
+        src.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+@derived_transform("minhash_bands")
+def _t_minhash_bands(src: DataFrame) -> DataFrame:
+    """doc -> one row per (doc_id, band_idx) with the MinHash band
+    signature — same math as the batch dedup queries (mlops.py), so the
+    maintained store joins bit-identically against a batch rebuild."""
+    dt = src.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
+    return minhash_band_rows(dt)

@@ -80,12 +80,14 @@ SELECT n_bands, count(*) AS n_candidate_pairs FROM pairs GROUP BY n_bands
 )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_val) LSH band rows — one pass over the
-    minhash signatures: posexplode the band array instead of a per-band
-    union (a union of N selects re-executes the minhash aggregation N
-    times — 8x the shuffle at any scale)."""
-    dt = _tokens(load(spark, sf_dir, "documents"))
+def minhash_band_rows(dt: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) LSH band rows from a (doc_id, tok)
+    token frame — one pass over the minhash signatures: posexplode the
+    band array instead of a per-band union (a union of N selects
+    re-executes the minhash aggregation N times — 8x the shuffle at any
+    scale).  Shared by the batch dedup queries and the incrementally
+    maintained LSH index (lake/derived.py's ``minhash_bands`` transform),
+    so a maintained signature store is bit-identical to a batch rebuild."""
     mh = dt.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), "tok"))).alias(f"h{i}") for i in range(N_MINHASH)]
     )
@@ -100,6 +102,10 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_val"),
     )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_band_rows(_tokens(load(spark, sf_dir, "documents")))
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
