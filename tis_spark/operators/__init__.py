@@ -48,13 +48,17 @@ _PRIORITY = [
     "wide_sql_node",
     "fk_chain_routing",
     "matview_group_rollup",
-    # r5 flagship surface: changelog-driven table replication and the
-    # approx-distinct (KMV) maintained view — promoted per the r4 pattern
-    # (the round's flagship must carry driver rows); rotated out:
-    # multimodal_frame_sample (family keeps three past-cap pytest rows)
-    # and ann_ivf_blocked (ann_cosine_topk stays in-gate, lsh past cap)
+    # r5 flagship surface: changelog-driven table replication, the
+    # approx-distinct (KMV) maintained view, and the incrementally
+    # maintained derived index — promoted per the r4 pattern (the round's
+    # flagship must carry driver rows); rotated out:
+    # multimodal_frame_sample (family keeps three past-cap pytest rows),
+    # ann_ivf_blocked (ann_cosine_topk stays in-gate, lsh past cap) and
+    # dedup_ngram_jaccard (the df-capped approximation — the dedup family
+    # keeps six driver rows incl. the exact-verify jaccard_on_lsh pair)
     "replica_incremental_sync",
     "matview_approx_distinct",
+    "derived_index_sync",
     # temporal joins
     "asof_join_prior_view",
     "range_join_pair_counts",
@@ -79,7 +83,6 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_jaccard_on_lsh",
     "dedup_cluster_components",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
