@@ -201,3 +201,25 @@ def test_transform_schema_drift_fails_loudly(spark, tmp_path, monkeypatch):
     _apply(spark, src, 1, [(2, "c d", 2)])
     with pytest.raises(TypeError, match="drifted"):
         idx.sync()
+
+
+def test_sync_tombstone_read_is_file_pruned(spark, tmp_path):
+    """The O(changed keys) IO claim: the old-derived lookup feeding the
+    tombstones is the bucket/zone file-pruned point read, never a derived
+    -table scan.  Pin via inputFiles(): a one-doc lookup touches a small
+    fraction of the base files a full read opens."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(i, f"tok{i} common words here", i) for i in range(200)])
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    idx.bootstrap()
+    snap = idx.table.current_snapshot()
+    full_files = set(idx.table.read(snapshot_id=snap.snapshot_id).inputFiles())
+    point_files = set(
+        idx.table.read_layout_point_lookup(snap, "doc_id", [7]).inputFiles()
+    )
+    assert len(full_files) >= snap.num_buckets // 2
+    assert len(point_files) * 4 <= len(full_files), (len(point_files), len(full_files))
+    # and the files it does read are a subset of the full set
+    assert point_files <= full_files
