@@ -223,3 +223,31 @@ def test_sync_tombstone_read_is_file_pruned(spark, tmp_path):
     assert len(point_files) * 4 <= len(full_files), (len(point_files), len(full_files))
     # and the files it does read are a subset of the full set
     assert point_files <= full_files
+
+
+def test_sync_survives_source_compaction_inside_window(spark, tmp_path):
+    """A source compaction committed INSIDE the sync window folds
+    tombstones away, so the changelog's deletes fall back to the
+    old-keys-minus-new-keys diff (lake/table.py::changes) — the derived
+    index must still drop the deleted docs' postings, and a compaction of
+    the INDEX itself must not disturb later syncs."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(i, f"tok{i} shared", i) for i in range(10)])
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    idx.bootstrap()
+
+    # window: update, delete, then compact the source before syncing
+    _apply(spark, src, 1, [(0, "tok0 altered", 100)], deletes=[3, 7])
+    src.compact(list(range(src.current_snapshot().num_buckets)))
+    idx.sync()
+    assert _state(idx.read()) == _expect(src, "token_postings")
+    assert idx.read().filter(F.col("doc_id").isin(3, 7)).count() == 0
+
+    # compact the index, keep syncing — zone maps on the new base keep
+    # the point lookup exact
+    idx.table.compact(list(range(idx.table.current_snapshot().num_buckets)))
+    _apply(spark, src, 2, [(11, "tok11 shared", 11)], deletes=[5])
+    idx.sync()
+    assert _state(idx.read()) == _expect(src, "token_postings")
