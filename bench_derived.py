@@ -1,0 +1,174 @@
+"""Derived-index maintenance bench: sync cost vs source size.
+
+Demonstrates the point of lake/derived.py at scale: catching a
+transform-expanded index (token postings) up after K changed documents
+costs O(K) — one changelog read, a bucket/zone file-pruned tombstone
+lookup, and a K-document re-expansion — while the alternative (what the
+reference does every build: tis-index-builder re-pipelines every row
+through LuceneDocMaker) costs O(corpus).  The sync wall and bytes read
+should stay flat as the corpus grows; the rebuild wall grows linearly.
+
+Method: create document lake tables of increasing row counts (doc_id,
+text of ~9 tokens from a bounded vocabulary + one unique token), create
++ bootstrap the token-postings index once, apply ONE delta commit of K
+changed docs (3/4 text updates, 1/4 deletes), then measure (a)
+idx.sync() wall + Spark-reported input bytes and (b) a full
+create+bootstrap rebuild wall on the same source.  Sync correctness is
+re-asserted against a fresh transform each round.
+
+Usage: python bench_derived.py  [sizes via SPARK_GRAFT_DI_SIZES, default
+"250000,1000000,4000000"; K via SPARK_GRAFT_DI_KEYS=5000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+import tis_spark.operators.indexing  # noqa: F401,E402 — registers transforms
+from tis_spark.lake.derived import TRANSFORMS, DerivedIndex  # noqa: E402
+from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable  # noqa: E402
+from tis_spark.session import get_spark  # noqa: E402
+
+SIZES = [int(x) for x in os.environ.get(
+    "SPARK_GRAFT_DI_SIZES", "250000,1000000,4000000"
+).split(",")]
+K = int(os.environ.get("SPARK_GRAFT_DI_KEYS", "5000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _text(salt: int):
+    """~9 bounded-vocabulary tokens + 1 doc-unique token (so every doc
+    has survivor postings AND a changed posting on update)."""
+    parts = [
+        F.concat(F.lit(f"w{j}_"), F.pmod(F.xxhash64("doc_id", F.lit(j + salt)), F.lit(997)).cast("string"))
+        for j in range(9)
+    ]
+    return F.concat_ws(" ", F.concat(F.lit("u"), F.col("doc_id").cast("string")), *parts)
+
+
+def build_source(spark, path, n):
+    t = LakeTable.create(spark, path, SRC_SCHEMA, key_cols=["doc_id"], version_col="doc_id")
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", _text(0).alias("text"))
+        .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
+        .withColumn(DEAD_COL, F.lit(False))
+    )
+    df = df.withColumn("_bucket", t.bucket_expr()).repartition("_bucket").sortWithinPartitions("doc_id")
+    t.commit(
+        t.write_data_files(df, kind="base", max_records_per_file=max(500_000, n // 64)),
+        summary={"epoch_id": 0},
+    )
+    return t
+
+
+def apply_delta(spark, t, n, k):
+    """k changed docs spread over the id space: 3/4 text updates, 1/4
+    deletes — one delta commit, the trigger-sized sync window."""
+    ch = spark.range(k).select((F.col("id") * (n // k)).alias("doc_id"))
+    up = ch.where(F.col("doc_id") % 4 != 2).select(
+        "doc_id", _text(1).alias("text"), F.lit(False).alias(DEAD_COL)
+    )
+    dead = ch.where(F.col("doc_id") % 4 == 2).select(
+        "doc_id", F.lit(None).cast("string").alias("text"), F.lit(True).alias(DEAD_COL)
+    )
+    df = (
+        up.unionByName(dead)
+        .withColumn(COMMIT_COL, F.lit(1).cast("long"))
+        .withColumn("_bucket", t.bucket_expr())
+        .repartition("_bucket")
+    )
+    t.commit(t.write_data_files(df, kind="delta"), summary={"epoch_id": 1})
+
+
+def _bytes_read(spark) -> int:
+    """Total input bytes across completed stages (Spark status REST API)
+    — bytes read do not lie about the IO asymmetry that dominates on
+    remote storage at 100 TB (same probe as bench_matview.py)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(base + "/api/v1/applications"))
+    app = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=COMPLETE")
+    )
+    return sum(st.get("inputBytes", 0) for st in stages)
+
+
+def main() -> None:
+    spark = get_spark(
+        "bench_derived",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "30000"},
+    )
+    rows = []
+    for n in SIZES:
+        work = tempfile.mkdtemp(prefix=f"tis-dibench-{n}-")
+        src = build_source(spark, os.path.join(work, "src"), n)
+        idx = DerivedIndex.create(
+            spark, os.path.join(work, "idx"), src, "token_postings", ["doc_id", "tok"]
+        )
+        t0 = time.monotonic()
+        idx.bootstrap()
+        build_s = time.monotonic() - t0
+
+        apply_delta(spark, src, n, K)
+        b0 = _bytes_read(spark)
+        t0 = time.monotonic()
+        out = idx.sync()
+        sync_s = time.monotonic() - t0
+        sync_mb = (_bytes_read(spark) - b0) / 1e6
+
+        # correctness: maintained store == fresh transform of source state
+        fresh = TRANSFORMS["token_postings"](src.read())
+        diff = idx.read().exceptAll(fresh).count() + fresh.exceptAll(idx.read()).count()
+        assert diff == 0, f"maintained index diverged at n={n}: {diff} rows"
+
+        t0 = time.monotonic()
+        idx2 = DerivedIndex.create(
+            spark, os.path.join(work, "idx2"), src, "token_postings", ["doc_id", "tok"]
+        )
+        idx2.bootstrap()
+        rebuild_s = time.monotonic() - t0
+
+        rows.append(
+            {
+                "n_docs": n,
+                "k_changed": K,
+                "bootstrap_s": round(build_s, 2),
+                "sync_s": round(sync_s, 2),
+                "sync_read_mb": round(sync_mb, 1),
+                "sync_files": out["files"],
+                "rebuild_s": round(rebuild_s, 2),
+                "speedup": round(rebuild_s / sync_s, 1),
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "derived-index sync vs rebuild", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,12 +192,20 @@ class DerivedIndex:
         src_snap = self.source.current_snapshot()
         expanded = self.transform(self.source.read(snapshot_id=src_snap.snapshot_id))
         self._check_transform_schema(expanded)
+        # compaction-grade base layout from the start: one task per
+        # bucket, rows sorted by the clustering (source) key and split
+        # into bounded files — tight per-file zone maps are what prune
+        # every later sync's tombstone lookup
         rows = (
             expanded.withColumn(COMMIT_COL, F.lit(-1).cast("long"))
             .withColumn(DEAD_COL, F.lit(False))
             .withColumn("_bucket", self.table.bucket_expr())
+            .repartition(tsnap.num_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", self.src_key)
         )
-        files = self.table.write_data_files(rows, kind="base")
+        files = self.table.write_data_files(
+            rows, kind="base", max_records_per_file=1_000_000
+        )
         self.table.commit(
             files,
             summary={"epoch_id": 0, "derived_source_snapshot": src_snap.snapshot_id},
@@ -261,6 +269,8 @@ class DerivedIndex:
             fresh.unionByName(tombs)
             .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
             .withColumn("_bucket", self.table.bucket_expr())
+            # one delta file per touched bucket, not per (task x bucket)
+            .repartition(dsnap.num_buckets, F.col("_bucket"))
         )
         files = self.table.write_data_files(delta, kind="delta")
         n_files = sum(len(ents) for ents in files.values())

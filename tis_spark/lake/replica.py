@@ -135,13 +135,22 @@ class TableReplica:
         tsnap = self.table.current_snapshot()
         src_snap = self.source.current_snapshot()
         expected = self._evolve_to(src_snap, tsnap.snapshot_id)
+        mine = self.table.current_snapshot()
+        # compaction-grade base layout from the start: one task per
+        # bucket, rows sorted by the clustering key and split into
+        # bounded files — tight zone maps (and PK blooms on relocating
+        # tables) from the first commit, not only after a compaction
         rows = (
             self.source.read(snapshot_id=src_snap.snapshot_id)
             .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
             .withColumn(DEAD_COL, F.lit(False))
             .withColumn("_bucket", self.table.bucket_expr())
+            .repartition(mine.num_buckets, F.col("_bucket"))
+            .sortWithinPartitions("_bucket", LakeTable.layout_key(mine))
         )
-        files = self.table.write_data_files(rows, kind="base")
+        files = self.table.write_data_files(
+            rows, kind="base", max_records_per_file=1_000_000
+        )
         self.table.commit(
             files,
             summary={"epoch_id": 0, "replica_source_snapshot": src_snap.snapshot_id},
@@ -207,8 +216,13 @@ class TableReplica:
                 .withColumn(DEAD_COL, F.lit(True))
             )
             delta = ups.unionByName(tmb)
-        delta = delta.withColumn(COMMIT_COL, F.lit(epoch).cast("long")).withColumn(
-            "_bucket", self.table.bucket_expr()
+        delta = (
+            delta.withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+            .withColumn("_bucket", self.table.bucket_expr())
+            # one delta file per touched bucket, not per (task x bucket)
+            .repartition(
+                self.table.current_snapshot().num_buckets, F.col("_bucket")
+            )
         )
         files = self.table.write_data_files(delta, kind="delta")
         n_files = sum(len(ents) for ents in files.values())
