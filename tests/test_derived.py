@@ -251,3 +251,66 @@ def test_sync_survives_source_compaction_inside_window(spark, tmp_path):
     _apply(spark, src, 2, [(11, "tok11 shared", 11)], deletes=[5])
     idx.sync()
     assert _state(idx.read()) == _expect(src, "token_postings")
+
+
+def test_refresh_views_shares_one_window_across_sync_consumers(spark, tmp_path):
+    """refresh_views groups sync-style consumers (derived indexes,
+    replicas) per (source, watermark) and reads the classify=False window
+    ONCE for the group — while matviews keep their own preimage group.
+    Counts actual changes() invocations: 2 derived + 1 replica + 1 view
+    on one source = exactly 2 reads, and every consumer lands on its
+    recompute."""
+    from tis_spark.lake.matview import MaterializedView, refresh_views
+    from tis_spark.lake.replica import TableReplica
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(i, f"tok{i} shared words", i) for i in range(12)])
+
+    postings = DerivedIndex.create(
+        spark, str(tmp_path / "p"), src, "token_postings", ["doc_id", "tok"]
+    )
+    postings.bootstrap()
+    bands = DerivedIndex.create(
+        spark, str(tmp_path / "b"), src, "minhash_bands", ["doc_id", "band_idx"]
+    )
+    bands.bootstrap()
+    rep = TableReplica.create(spark, str(tmp_path / "r"), src)
+    rep.bootstrap()
+    mv = MaterializedView.create(
+        spark, str(tmp_path / "mv"), src, ["text"], {"n": ("count", None)}
+    )
+    mv.full_build()
+
+    _apply(spark, src, 1, [(2, "tok2 altered words", 20), (12, "tok12 shared", 12)], deletes=[5])
+
+    n_calls = {"n": 0}
+    orig = src.changes
+
+    def counting(*a, **kw):
+        n_calls["n"] += 1
+        return orig(*a, **kw)
+
+    src.changes = counting
+    # every consumer's .source is its own LakeTable instance at the same
+    # path — point them at the counted instance
+    for c in (postings, bands, rep, mv):
+        c.source = src
+    stats = refresh_views([postings, bands, rep, mv])
+    assert n_calls["n"] == 2, n_calls  # one classify=False + one preimage
+    assert len(stats) == 4 and all(not s.get("up_to_date") for s in stats)
+
+    assert _state(postings.read()) == _expect(src, "token_postings")
+    assert _state(bands.read()) == _expect(src, "minhash_bands")
+    assert _state(rep.read()) == _state(src.read())
+    got = {tuple(r)[:1] + (r["n"],) for r in mv.read().collect()}
+    want = {
+        (r["text"], r["n"])
+        for r in src.read().groupBy("text").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+    # second round: all up to date, no window read at all
+    n_calls["n"] = 0
+    stats = refresh_views([postings, bands, rep, mv])
+    assert all(s.get("up_to_date") for s in stats)
+    assert n_calls["n"] == 0

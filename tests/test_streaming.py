@@ -227,3 +227,39 @@ def test_streaming_views_stay_current(spark, stream_source, tmp_table_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert mv._last_source_snapshot() == s.ingest.table.current_snapshot().snapshot_id
     assert mv.refresh()["up_to_date"]
+
+
+def test_streaming_derived_index_stays_current(spark, stream_source, tmp_table_dir):
+    """A DerivedIndex attached to the stream syncs inside each
+    foreachBatch through the same views hook as matviews: after the run +
+    drain, the maintained postings equal a fresh transform of the final
+    table state, and the watermark sits at the current snapshot."""
+    import tis_spark.operators.cdcfold  # noqa: F401 — registers the transform
+    from tis_spark.lake.derived import TRANSFORMS, DerivedIndex
+
+    src, rows = stream_source
+    cfg = CdcConfig(fold_parallelism=8, delete_policy="delete")
+    s = StreamingCdc(spark, src, tmp_table_dir, cfg)
+    idx = DerivedIndex.create(
+        spark,
+        tmp_table_dir + "_idx",
+        s.ingest.table,
+        "pages_title_postings",
+        ["url", "tok"],
+    )
+    idx.bootstrap()  # empty bootstrap; every batch arrives via sync
+    s.views.append(idx)
+    assert s.run_available(max_files_per_trigger=1)
+    s.drain()
+
+    got = sorted(tuple(r) for r in idx.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in TRANSFORMS["pages_title_postings"](s.final_state()).collect()
+    )
+    assert got == want and len(got) > 0
+    assert (
+        idx._last_source_snapshot()
+        == s.ingest.table.current_snapshot().snapshot_id
+    )
+    assert idx.sync()["up_to_date"]

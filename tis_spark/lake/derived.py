@@ -215,16 +215,27 @@ class DerivedIndex:
 
     # ------------------------------------------------------------------ sync
 
-    def sync(self, derived_keys_max: int = DERIVED_KEYS_MAX) -> dict:
+    def sync(self, derived_keys_max: int = DERIVED_KEYS_MAX, _pinned=None) -> dict:
         """Catch the index up to the source's current snapshot: tombstone
         every derived row of every changed source key, re-expand the
         upserted source rows, commit both as one fenced delta epoch (see
-        module docstring for why survivors keep their live copy)."""
+        module docstring for why survivors keep their live copy).
+
+        ``_pinned`` is ``lake.matview.refresh_views``'s shared-window
+        handle ``(src_snap, changelog_df, lo)``: N consumers riding the
+        same stream read the identical ``classify=False`` window once.
+        An index whose watermark disagrees with the group (attached
+        mid-stream, partial failure last batch) silently takes the
+        private-read path instead of consuming a mismatched window."""
         tsnap = self.table.current_snapshot()
         last_src = self._last_source_snapshot()
         if last_src < 0:
             raise RuntimeError("bootstrap() the index before sync()")
-        src_snap = self.source.current_snapshot()
+        ch = None
+        if _pinned is not None and _pinned[2] == last_src:
+            src_snap, ch = _pinned[0], _pinned[1]
+        else:
+            src_snap = self.source.current_snapshot()
         if src_snap.snapshot_id <= last_src:
             return {"keys": 0, "epoch": None, "up_to_date": True}
         epoch = self._next_epoch()
@@ -232,7 +243,8 @@ class DerivedIndex:
         schema = dsnap.schema
         key_cols = dsnap.key_cols
 
-        ch = self.source.changes(last_src, src_snap.snapshot_id, classify=False)
+        if ch is None:
+            ch = self.source.changes(last_src, src_snap.snapshot_id, classify=False)
         src_cols = [f.name for f in src_snap.schema.fields]
         upserts = ch.filter(F.col("_change_type") != "delete").select(*src_cols)
 

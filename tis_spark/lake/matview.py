@@ -1005,7 +1005,7 @@ class MaterializedView:
 
 
 def refresh_views(views: list, compact_every: int | None = None) -> list[dict]:
-    """Refresh many views with ONE changelog read per (source, window).
+    """Refresh many changelog consumers with ONE read per (source, window).
 
     Views attached to the same stream share a source and advance their
     watermarks in lockstep, so per-batch maintenance of N views would
@@ -1020,13 +1020,43 @@ def refresh_views(views: list, compact_every: int | None = None) -> list[dict]:
     or a partial failure last batch) silently takes the private-read path
     inside ``refresh`` rather than consuming a mismatched window.
 
-    Returns per-view stats in input order.
+    SYNC-style consumers (``lake.replica.TableReplica``,
+    ``lake.derived.DerivedIndex`` — anything with ``.sync()`` instead of
+    ``.refresh()``) ride the same hook: they group separately on the
+    cheaper ``classify=False`` feed (no old-snapshot read), shared the
+    same way.  A layout-clustered replica consumes its private preimage
+    feed inside ``sync`` regardless (see lake/replica.py).
+
+    Returns per-consumer stats in input order.
     """
     stats: dict[int, dict] = {}
     groups: dict[tuple, list[tuple[int, "MaterializedView"]]] = {}
+    sync_groups: dict[tuple, list] = {}
     for i, v in enumerate(views):
         key = (v.source.path, v._last_source_snapshot())
-        groups.setdefault(key, []).append((i, v))
+        if hasattr(v, "refresh"):
+            groups.setdefault(key, []).append((i, v))
+        else:
+            sync_groups.setdefault(key, []).append((i, v))
+    for (path, lo), members in sync_groups.items():
+        if len(members) == 1:
+            i, v = members[0]
+            stats[i] = v.sync()
+            continue
+        src = members[0][1].source
+        snap = src.current_snapshot()
+        if snap.snapshot_id <= lo:
+            for i, v in members:
+                stats[i] = v.sync()
+            continue
+        ch = src.changes(lo, snap.snapshot_id, classify=False).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            for i, v in members:
+                stats[i] = v.sync(_pinned=(snap, ch, lo))
+        finally:
+            ch.unpersist(blocking=False)
     for (path, lo), members in groups.items():
         if len(members) == 1:
             i, v = members[0]

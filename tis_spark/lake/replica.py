@@ -160,15 +160,25 @@ class TableReplica:
 
     # ------------------------------------------------------------------ sync
 
-    def sync(self) -> dict:
+    def sync(self, _pinned=None) -> dict:
         """Catch the replica up to the source's current snapshot from the
         ``classify=False`` changelog.  Idempotent and fenced (see module
-        docstring); returns {files, bytes, epoch, up_to_date}."""
+        docstring); returns {files, bytes, epoch, up_to_date}.
+
+        ``_pinned`` is ``lake.matview.refresh_views``'s shared-window
+        handle ``(src_snap, changelog_df, lo)`` — consumed only on the
+        classify branch (a layout-clustered replica needs the preimage
+        feed, so it takes its private read), and only when the replica's
+        watermark agrees with the group's window."""
         tsnap = self.table.current_snapshot()
         last_src = self._last_source_snapshot()
         if last_src < 0:
             raise RuntimeError("bootstrap() the replica before sync()")
-        src_snap = self.source.current_snapshot()
+        pinned_ch = None
+        if _pinned is not None and _pinned[2] == last_src:
+            src_snap, pinned_ch = _pinned[0], _pinned[1]
+        else:
+            src_snap = self.source.current_snapshot()
         if src_snap.snapshot_id <= last_src:
             return {"keys": 0, "epoch": None, "up_to_date": True}
         expected = self._evolve_to(src_snap, tsnap.snapshot_id)
@@ -176,7 +186,7 @@ class TableReplica:
         layout = self.table.current_snapshot().layout_col
         cols = [f.name for f in src_snap.schema.fields]
         if layout is None:
-            ch = self.source.changes(
+            ch = pinned_ch if pinned_ch is not None else self.source.changes(
                 last_src, src_snap.snapshot_id, classify=False
             )
             delta = ch.select(
