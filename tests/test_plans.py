@@ -199,3 +199,17 @@ def test_dup_span_stats_never_shuffles_text(spark):
     for line in jplan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_neardup_probe_broadcasts_the_batch_side(spark):
+    """neardup_probe_incremental: the new-batch band rows must reach the
+    candidate join as a broadcast (the probe is O(batch) while the index
+    side is the whole maintained signature store — a shuffle of the full
+    index per probe is the scale regression), and no Exchange in the
+    plan may carry document text (the index stores only 32-byte band
+    hashes; text stays in the source lake table)."""
+    p = plan(spark, "neardup_probe_incremental")
+    assert "BroadcastHashJoin" in p, p
+    for seg in p.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head, f"document text entered a shuffle:\n{head}"

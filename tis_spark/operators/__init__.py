@@ -83,7 +83,9 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_jaccard_on_lsh",
     "dedup_cluster_components",
-    "dedup_simhash",
+    # (dedup_simhash rotated past cap for the r5 capstone probe below —
+    # the family keeps five driver rows; simhash stays pytest-pinned)
+    "neardup_probe_incremental",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality_score",

@@ -525,3 +525,112 @@ def derived_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
     idx.sync()
     return idx.read().select("url", "tok", "tf", "lang")
+
+
+# ------------------------------------------------- incremental near-dup
+
+#: doc_id % NEW_DOC_MOD == 0 picks the "newly crawled" batch (~20%) that
+#: arrives AFTER the LSH index was bootstrapped over the back catalog.
+NEW_DOC_MOD = 5
+
+
+def _neardup_probe_sql() -> str:
+    from tis_spark.operators.mlops import _MINHASH_SQL
+
+    return _MINHASH_SQL[: _MINHASH_SQL.rindex("SELECT n_bands")] + """
+SELECT n_bands, CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN doc_a % 5 = 0 AND doc_b % 5 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new_new_pairs
+FROM pairs
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+GROUP BY n_bands
+"""
+
+
+@query("neardup_probe_incremental", _neardup_probe_sql())
+def neardup_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — the capstone of the CDC x webtext
+    graft: the corpus lives in a lake table, its MinHash-LSH band store
+    is an incrementally-maintained DerivedIndex (lake/derived.py), and
+    when a new crawl batch lands the batch's near-dups against the WHOLE
+    corpus come from probing the maintained index — never from re-running
+    the full corpus-x-corpus LSH join.
+
+    Steps (all through the real machinery): bootstrap the lake table
+    with the back catalog (doc_id % 5 != 0), bootstrap the
+    ``minhash_bands`` index off that snapshot, commit the new batch
+    (doc_id % 5 == 0) as a CDC delta, catch the index up with ONE
+    changelog sync (O(changed keys)), then probe: the new docs' band
+    rows join the full index on (band_idx, band_val).  At 100 TB the
+    probe side is O(batch) — broadcast — and the index side is a
+    bucket-pruned signature store; nothing ever shuffles document text,
+    and the corpus-x-corpus join simply never happens again after the
+    initial build.
+
+    The DuckDB oracle computes the batch-over-full-corpus candidate
+    pairs directly from the documents table with the identical md5
+    minhash formula, so a green hash proves maintained-index probing ==
+    batch recomputation.
+
+    Reference contrast: TIS would full-rebuild the index per build
+    (tis-index-builder IndexBuilderTask.java:93-188); near-dup probing
+    over a CDC-maintained signature store has no reference counterpart.
+    """
+    from tis_spark.lake.derived import DerivedIndex
+    from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    is_new = (F.col("doc_id") % NEW_DOC_MOD) == 0
+    table_dir = tempfile.mkdtemp(prefix="tis-neardup-")
+    src = LakeTable.create(
+        spark, table_dir, docs.schema, key_cols=["doc_id"], version_col="n_chars"
+    )
+
+    def _commit(batch: DataFrame, epoch: int) -> None:
+        staged = (
+            batch.withColumn(DEAD_COL, F.lit(False))
+            .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+            .withColumn("_bucket", src.bucket_expr())
+        )
+        src.commit(src.write_data_files(staged, kind="delta"), summary={"epoch_id": epoch})
+
+    _commit(docs.filter(~is_new), 0)
+    idx = DerivedIndex.create(
+        spark, table_dir + "_idx", src, "minhash_bands", ["doc_id", "band_idx"]
+    )
+    idx.bootstrap()
+    _commit(docs.filter(is_new), 1)
+    out = idx.sync()
+    assert not out["up_to_date"], out
+
+    bands = idx.read().select("doc_id", "band_idx", "band_val")
+    probe = F.broadcast(bands.filter((F.col("doc_id") % NEW_DOC_MOD) == 0)).alias("a")
+    cand = probe.join(
+        bands.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    pairs = (
+        cand.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.col("a.band_idx").alias("band_idx"),
+        )
+        # a new-new pair is probed from both sides: distinct before counting
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs.groupBy("n_bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(
+            F.when(
+                ((F.col("doc_a") % NEW_DOC_MOD) == 0) & ((F.col("doc_b") % NEW_DOC_MOD) == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_new_new_pairs"),
+    )
