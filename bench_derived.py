@@ -116,6 +116,120 @@ def _bytes_read(spark) -> int:
     return sum(st.get("inputBytes", 0) for st in stages)
 
 
+def probe_main(spark) -> None:
+    """--probe: the incremental near-dup shape (operators/cdcfold.py::
+    neardup_probe_incremental) at bench scale.  Corpus of N docs in ~5-doc
+    duplicate clusters with a maintained minhash_bands index; a K-doc new
+    batch lands as one delta + one sync; then compare (a) probing the
+    maintained index for the batch's near-dup pairs (broadcast batch
+    bands, zero shuffle of the index side) against (b) what a
+    non-incremental pipeline re-runs per batch: the full corpus-x-corpus
+    band self-join.  The full join shuffles all 4N band rows every batch;
+    the probe's shuffle is O(K) — the asymmetry that decides feasibility
+    when N is 100 TB and K is one crawl increment."""
+    rows = []
+    for n in SIZES:
+        work = tempfile.mkdtemp(prefix=f"tis-diprobe-{n}-")
+        t = LakeTable.create(
+            spark, os.path.join(work, "src"), SRC_SCHEMA, key_cols=["doc_id"], version_col="doc_id"
+        )
+        # ~5-doc duplicate clusters: identical text within a cluster
+        cluster = lambda c: F.concat_ws(  # noqa: E731
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}_"),
+                    F.pmod(F.xxhash64(c, F.lit(j)), F.lit(997)).cast("string"),
+                )
+                for j in range(10)
+            ],
+        )
+        base = (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"))
+            .select("doc_id", cluster(F.pmod(F.col("doc_id"), F.lit(n // 5))).alias("text"))
+            .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+        )
+        base = base.withColumn("_bucket", t.bucket_expr()).repartition("_bucket")
+        t.commit(
+            t.write_data_files(base, kind="base", max_records_per_file=max(500_000, n // 64)),
+            summary={"epoch_id": 0},
+        )
+        idx = DerivedIndex.create(
+            spark, os.path.join(work, "idx"), t, "minhash_bands", ["doc_id", "band_idx"]
+        )
+        t0 = time.monotonic()
+        idx.bootstrap()
+        build_s = time.monotonic() - t0
+
+        # the new crawl batch joins existing clusters (near-dups of corpus)
+        batch = (
+            spark.range(n, n + K)
+            .select(F.col("id").alias("doc_id"))
+            .select("doc_id", cluster(F.pmod(F.col("doc_id"), F.lit(n // 5))).alias("text"))
+            .withColumn(COMMIT_COL, F.lit(1).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+            .withColumn("_bucket", t.bucket_expr())
+            .repartition("_bucket")
+        )
+        t.commit(t.write_data_files(batch, kind="delta"), summary={"epoch_id": 1})
+        t0 = time.monotonic()
+        idx.sync()
+        sync_s = time.monotonic() - t0
+
+        bands = idx.read().select("doc_id", "band_idx", "band_val")
+        t0 = time.monotonic()
+        probe = F.broadcast(bands.filter(F.col("doc_id") >= n)).alias("a")
+        probe_pairs = (
+            probe.join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .count()
+        )
+        probe_s = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        a, b = bands.alias("a"), bands.alias("b")
+        full_pairs = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        full_s = time.monotonic() - t0
+
+        rows.append(
+            {
+                "n_docs": n,
+                "k_new": K,
+                "bootstrap_s": round(build_s, 2),
+                "sync_s": round(sync_s, 2),
+                "probe_s": round(probe_s, 2),
+                "probe_pairs": probe_pairs,
+                "full_join_s": round(full_s, 2),
+                "full_pairs": full_pairs,
+                "speedup": round(full_s / probe_s, 1),
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "near-dup probe vs full LSH join", "rows": rows}))
+
+
 def main() -> None:
     spark = get_spark(
         "bench_derived",
@@ -123,6 +237,9 @@ def main() -> None:
         shuffle_partitions=CPUS,
         extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "30000"},
     )
+    if "--probe" in sys.argv:
+        probe_main(spark)
+        return
     rows = []
     for n in SIZES:
         work = tempfile.mkdtemp(prefix=f"tis-dibench-{n}-")
