@@ -178,23 +178,11 @@ def probe_main(spark) -> None:
         idx.sync()
         sync_s = time.monotonic() - t0
 
+        from tis_spark.operators.indexing import probe_minhash_bands
+
         bands = idx.read().select("doc_id", "band_idx", "band_val")
         t0 = time.monotonic()
-        probe = F.broadcast(bands.filter(F.col("doc_id") >= n)).alias("a")
-        probe_pairs = (
-            probe.join(
-                bands.alias("b"),
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_val") == F.col("b.band_val"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-            .count()
-        )
+        probe_pairs = probe_minhash_bands(bands, F.col("doc_id") >= n).count()
         probe_s = time.monotonic() - t0
 
         t0 = time.monotonic()

@@ -605,25 +605,10 @@ def neardup_probe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = idx.sync()
     assert not out["up_to_date"], out
 
+    from tis_spark.operators.indexing import probe_minhash_bands
+
     bands = idx.read().select("doc_id", "band_idx", "band_val")
-    probe = F.broadcast(bands.filter((F.col("doc_id") % NEW_DOC_MOD) == 0)).alias("a")
-    cand = probe.join(
-        bands.alias("b"),
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_val") == F.col("b.band_val"))
-        & (F.col("a.doc_id") != F.col("b.doc_id")),
-    )
-    pairs = (
-        cand.select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            F.col("a.band_idx").alias("band_idx"),
-        )
-        # a new-new pair is probed from both sides: distinct before counting
-        .distinct()
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
-    )
+    pairs = probe_minhash_bands(bands, (F.col("doc_id") % NEW_DOC_MOD) == 0)
     return pairs.groupBy("n_bands").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
         F.sum(

@@ -193,3 +193,35 @@ def _t_minhash_bands(src: DataFrame) -> DataFrame:
     maintained store joins bit-identically against a batch rebuild."""
     dt = src.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).distinct()
     return minhash_band_rows(dt)
+
+
+def probe_minhash_bands(bands: DataFrame, is_new) -> DataFrame:
+    """Near-dup candidate pairs touching a new batch, by probing a
+    maintained MinHash band store (the ``minhash_bands`` DerivedIndex).
+
+    ``bands`` is the full (doc_id, band_idx, band_val) signature store;
+    ``is_new`` is a Column predicate selecting the batch.  The batch
+    side is broadcast — the probe's shuffle is O(batch) regardless of
+    corpus size; the index side is scanned (column-pruned) but never
+    shuffled, and document text is never touched.  Returns canonical
+    (doc_a < doc_b) pairs with the matching-band count:
+    (doc_a, doc_b, n_bands).  A new-new pair is probed from both sides,
+    so (pair, band) rows are de-duplicated before counting.
+    """
+    probe = F.broadcast(bands.filter(is_new)).alias("a")
+    cand = probe.join(
+        bands.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    return (
+        cand.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.col("a.band_idx").alias("band_idx"),
+        )
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
