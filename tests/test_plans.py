@@ -213,3 +213,18 @@ def test_neardup_probe_broadcasts_the_batch_side(spark):
     for seg in p.split("Exchange")[1:]:
         head = seg.split("\n")[0]
         assert "text" not in head, f"document text entered a shuffle:\n{head}"
+
+
+def test_ann_probe_broadcasts_the_batch_and_keeps_vectors_off_shuffles(spark):
+    """ann_probe_incremental: the new-batch bucket rows must reach the
+    candidate join as a broadcast (the probe is O(batch) while the index
+    side is the whole maintained bucket store), and no Exchange in the
+    plan may carry the embedding vectors — the index stores only hash
+    rows, and candidate verification fetches vectors via joins whose
+    pair side AQE broadcasts (column-pruned vector scan, never a vector
+    shuffle)."""
+    p = plan(spark, "ann_probe_incremental")
+    assert "BroadcastHashJoin" in p, p
+    for seg in p.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "embedding" not in head, f"vectors entered a shuffle:\n{head}"

@@ -81,11 +81,12 @@ _PRIORITY = [
     # LLM-pipeline operators (dedup / ANN / text / multimodal / quality)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_jaccard_on_lsh",
     "dedup_cluster_components",
-    # (dedup_simhash rotated past cap for the r5 capstone probe below —
-    # the family keeps five driver rows; simhash stays pytest-pinned)
+    # (dedup_simhash and dedup_jaccard_on_lsh rotated past cap for the two
+    # r5 capstone probes below — the dedup family keeps five driver rows;
+    # both rotated names stay pytest-oracle-pinned every suite run)
     "neardup_probe_incremental",
+    "ann_probe_incremental",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality_score",

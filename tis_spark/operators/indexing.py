@@ -225,3 +225,70 @@ def probe_minhash_bands(bands: DataFrame, is_new) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+# ---------------------------------------------------- vector (ANN) index
+
+#: sign-LSH hash tables over the 64-dim embedding: table t reads
+#: ANN_INDEX_PLANES axis-aligned planes from the disjoint dim slice
+#: [t*16+1, t*16+8] — independent tables, so a near neighbor missed by
+#: one table's bucket is caught by another (standard multi-table LSH).
+ANN_INDEX_TABLES = 4
+ANN_INDEX_PLANES = 8
+
+
+@derived_transform("emb_sign_buckets")
+def _t_emb_sign_buckets(src: DataFrame) -> DataFrame:
+    """embedding row -> one row per hash table: (vec_id, table_idx,
+    bucket).  Same axis-aligned sign buckets as the batch ANN queries
+    (mlops.py ann_lsh_buckets), widened to multiple tables; a pure 1:L
+    per-row expansion, so the maintained store is bit-identical to a
+    batch rebuild.  One narrow scan — the tables come out of a single
+    posexplode, never L passes over the source."""
+    buckets = F.array(
+        *[
+            F.concat(
+                *[
+                    F.when(F.element_at("embedding", t * 16 + i) >= 0, "1").otherwise("0")
+                    for i in range(1, ANN_INDEX_PLANES + 1)
+                ]
+            )
+            for t in range(ANN_INDEX_TABLES)
+        ]
+    )
+    return src.select(
+        "vec_id", F.posexplode(buckets).alias("table_idx", "bucket")
+    )
+
+
+def probe_sign_buckets(index_rows: DataFrame, is_new) -> DataFrame:
+    """ANN candidate pairs touching a new vector batch, by probing a
+    maintained sign-LSH bucket store (the ``emb_sign_buckets``
+    DerivedIndex).
+
+    ``index_rows`` is the full (vec_id, table_idx, bucket) store;
+    ``is_new`` is a Column predicate selecting the batch.  The batch
+    side is broadcast — the probe's shuffle is O(batch) regardless of
+    corpus size; the index side is scanned (column-pruned, no vectors)
+    but never shuffled.  Returns canonical (vec_a < vec_b) pairs with
+    the number of tables in which they co-bucketed: (vec_a, vec_b,
+    n_tables).  A new-new pair probes from both sides, so (pair, table)
+    rows are de-duplicated before counting.
+    """
+    probe = F.broadcast(index_rows.filter(is_new)).alias("a")
+    cand = probe.join(
+        index_rows.alias("b"),
+        (F.col("a.table_idx") == F.col("b.table_idx"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    return (
+        cand.select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+            F.col("a.table_idx").alias("table_idx"),
+        )
+        .distinct()
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count(F.lit(1)).alias("n_tables"))
+    )
