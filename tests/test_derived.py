@@ -314,3 +314,68 @@ def test_refresh_views_shares_one_window_across_sync_consumers(spark, tmp_path):
     stats = refresh_views([postings, bands, rep, mv])
     assert all(s.get("up_to_date") for s in stats)
     assert n_calls["n"] == 0
+
+
+def test_emb_sign_bucket_index_tracks_vector_churn(spark, tmp_path):
+    """The vector-modality index (emb_sign_buckets): updates that flip a
+    vector's signs move it to new buckets in the affected tables only,
+    deletes drop all its bucket rows, and the maintained store stays
+    probe-equivalent to a fresh transform of the final source state."""
+    from tis_spark.operators.indexing import probe_sign_buckets
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+
+    def vec(i, flip=False):
+        v = [(1.0 if ((i >> (d % 8)) & 1) else -1.0) * (1.0 + d % 5) for d in range(64)]
+        if flip:
+            v = [-x for x in v[:8]] + v[8:]  # moves the table-0 bucket only
+        return v
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, key_cols=["vec_id"], version_col="label"
+    )
+
+    def apply(epoch, upserts, deletes=()):
+        rows = [
+            {"vec_id": i, "embedding": vec(i, flip), "label": lb, DEAD_COL: False}
+            for i, flip, lb in upserts
+        ] + [
+            {"vec_id": d, "embedding": None, "label": None, DEAD_COL: True}
+            for d in deletes
+        ]
+        df = spark.createDataFrame(
+            rows,
+            T.StructType(list(schema.fields) + [T.StructField(DEAD_COL, T.BooleanType())]),
+        )
+        df = df.withColumn(COMMIT_COL, F.lit(epoch).cast("long")).withColumn(
+            "_bucket", src.bucket_expr()
+        )
+        src.commit(src.write_data_files(df, kind="delta"), summary={"epoch_id": epoch})
+
+    apply(0, [(i, False, i % 3) for i in range(20)])
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "emb_sign_buckets", ["vec_id", "table_idx"]
+    )
+    idx.bootstrap()
+    # churn: vec 3 flips its first 8 signs (table-0 bucket moves, tables
+    # 1-3 keep their rows -> the survivor rule), vec 20 is new, 7 deleted
+    apply(1, [(3, True, 9), (20, False, 2)], deletes=[7])
+    out = idx.sync()
+    assert not out["up_to_date"]
+
+    fresh = TRANSFORMS["emb_sign_buckets"](src.read())
+    assert _state(idx.read().select("vec_id", "table_idx", "bucket")) == _state(fresh)
+    # a second sync with no source change is a watermark no-op
+    assert idx.sync()["up_to_date"]
+
+    # probe parity: candidates from the maintained store == from fresh
+    is_new = F.col("vec_id") >= 18
+    assert _state(
+        probe_sign_buckets(idx.read().select("vec_id", "table_idx", "bucket"), is_new)
+    ) == _state(probe_sign_buckets(fresh, is_new))
