@@ -69,6 +69,10 @@ HEADLINE = [
     "url_canonicalize",
     "domain_cap_topk",
     "dup_span_stats",
+    # new in r5: the maintained-index capstones (bootstrap + delta + one
+    # changelog sync + probe, end-to-end through the lake machinery)
+    "neardup_probe_incremental",
+    "ann_probe_incremental",
     # matview_group_rollup is NOT headlined: it replays the CDC engine
     # twice end-to-end (~1 min at sf0.1, dominated by per-epoch fixed
     # cost, not the view refresh) — its cost story lives in
