@@ -233,6 +233,10 @@ def probe_minhash_bands(bands: DataFrame, is_new) -> DataFrame:
 #: ANN_INDEX_PLANES axis-aligned planes from the disjoint dim slice
 #: [t*16+1, t*16+8] — independent tables, so a near neighbor missed by
 #: one table's bucket is caught by another (standard multi-table LSH).
+#: At production corpus sizes the plane count must grow with log(N) to
+#: hold the expected bucket occupancy (and hence probe fan-out)
+#: constant — the same rule dedup_embedding_cosine documents for its
+#: bucket cap; 8 planes/table sizes the buckets for the test SFs.
 ANN_INDEX_TABLES = 4
 ANN_INDEX_PLANES = 8
 
