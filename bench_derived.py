@@ -18,7 +18,9 @@ re-asserted against a fresh transform each round.
 
 Usage: python bench_derived.py  [sizes via SPARK_GRAFT_DI_SIZES, default
 "250000,1000000,4000000"; K via SPARK_GRAFT_DI_KEYS=5000]
-Prints one JSON line.
+Prints one JSON line.  ``--probe`` runs the near-dup probe-vs-full-join
+comparison instead (see probe_main); ``--ann-probe`` its vector twin
+over a maintained sign-LSH bucket store (see ann_probe_main).
 """
 
 from __future__ import annotations
@@ -32,6 +34,16 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+if "--ann-probe" in sys.argv:
+    # bench-scale sign-LSH geometry BEFORE the transform module loads: the
+    # plane count must grow ~log(N) to hold bucket occupancy constant
+    # (operators/indexing.py) — the sf-test default (4 tables x 8 planes,
+    # 256 buckets/table) would put thousands of vectors in every bucket at
+    # millions of rows and the "full self-join" comparator would measure
+    # bucket overflow, not the probe asymmetry.  2 x 24 = 16M buckets.
+    os.environ.setdefault("TIS_ANN_TABLES", "2")
+    os.environ.setdefault("TIS_ANN_PLANES", "24")
 
 from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
@@ -218,6 +230,123 @@ def probe_main(spark) -> None:
     print(json.dumps({"metric": "near-dup probe vs full LSH join", "rows": rows}))
 
 
+def ann_probe_main(spark) -> None:
+    """--ann-probe: the incremental ANN shape (operators/cdcfold.py::
+    ann_probe_incremental) at bench scale — the vector twin of --probe.
+    Corpus of N 64-dim vectors in ~5-vector cosine clusters with a
+    maintained ``emb_sign_buckets`` store; a K-vector batch lands as one
+    delta + one sync; then compare (a) probing the maintained store for
+    the batch's candidate neighbor pairs (broadcast batch buckets, the
+    store side never shuffled) against (b) what a non-incremental
+    pipeline re-runs per batch: the full store self-join producing every
+    corpus pair.  Candidate generation only on both sides — the
+    exact-cosine verify step is identical in either pipeline (and the
+    gate query hash-checks it); the asymmetry that decides feasibility
+    is who shuffles what per batch."""
+    from tis_spark.operators.indexing import probe_sign_buckets
+
+    EMB_DIM = 64
+
+    def embedding(cluster_col):
+        # cluster base direction (uniform +-1 per dim) + small per-vector
+        # jitter (+-0.05): in-cluster sign buckets agree on most planes,
+        # cross-cluster signs are independent
+        return F.array(
+            *[
+                (
+                    (F.pmod(F.xxhash64(cluster_col, F.lit(d)), F.lit(2001)) - F.lit(1000)).cast("double")
+                    / F.lit(1000.0)
+                    + (F.pmod(F.xxhash64("vec_id", F.lit(1000 + d)), F.lit(201)) - F.lit(100)).cast("double")
+                    / F.lit(2000.0)
+                ).cast("float")
+                for d in range(EMB_DIM)
+            ]
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = []
+    for n in SIZES:
+        work = tempfile.mkdtemp(prefix=f"tis-annbench-{n}-")
+        t = LakeTable.create(
+            spark, os.path.join(work, "src"), schema, key_cols=["vec_id"], version_col="vec_id"
+        )
+        base = (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"))
+            .select("vec_id", embedding(F.pmod(F.col("vec_id"), F.lit(n // 5))).alias("embedding"))
+            .withColumn(COMMIT_COL, F.lit(-1).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+        )
+        base = base.withColumn("_bucket", t.bucket_expr()).repartition("_bucket")
+        t.commit(
+            t.write_data_files(base, kind="base", max_records_per_file=max(500_000, n // 64)),
+            summary={"epoch_id": 0},
+        )
+        idx = DerivedIndex.create(
+            spark, os.path.join(work, "idx"), t, "emb_sign_buckets", ["vec_id", "table_idx"]
+        )
+        t0 = time.monotonic()
+        idx.bootstrap()
+        build_s = time.monotonic() - t0
+
+        # the new batch joins existing clusters (near neighbors of corpus)
+        batch = (
+            spark.range(n, n + K)
+            .select(F.col("id").alias("vec_id"))
+            .select("vec_id", embedding(F.pmod(F.col("vec_id"), F.lit(n // 5))).alias("embedding"))
+            .withColumn(COMMIT_COL, F.lit(1).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+            .withColumn("_bucket", t.bucket_expr())
+            .repartition("_bucket")
+        )
+        t.commit(t.write_data_files(batch, kind="delta"), summary={"epoch_id": 1})
+        t0 = time.monotonic()
+        idx.sync()
+        sync_s = time.monotonic() - t0
+
+        store = idx.read().select("vec_id", "table_idx", "bucket")
+        t0 = time.monotonic()
+        probe_pairs = probe_sign_buckets(store, F.col("vec_id") >= n).count()
+        probe_s = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        a, b = store.alias("a"), store.alias("b")
+        full_pairs = (
+            a.join(
+                b,
+                (F.col("a.table_idx") == F.col("b.table_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+        full_s = time.monotonic() - t0
+
+        rows.append(
+            {
+                "n_vecs": n,
+                "k_new": K,
+                "bootstrap_s": round(build_s, 2),
+                "sync_s": round(sync_s, 2),
+                "probe_s": round(probe_s, 2),
+                "probe_pairs": probe_pairs,
+                "full_join_s": round(full_s, 2),
+                "full_pairs": full_pairs,
+                "speedup": round(full_s / probe_s, 1),
+            }
+        )
+        print(json.dumps(rows[-1]), file=sys.stderr)
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "ANN probe vs full sign-LSH self-join", "rows": rows}))
+
+
 def main() -> None:
     spark = get_spark(
         "bench_derived",
@@ -227,6 +356,9 @@ def main() -> None:
     )
     if "--probe" in sys.argv:
         probe_main(spark)
+        return
+    if "--ann-probe" in sys.argv:
+        ann_probe_main(spark)
         return
     rows = []
     for n in SIZES:

@@ -27,6 +27,8 @@ backflow is explode + count, embarrassingly parallel.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -237,8 +239,16 @@ def probe_minhash_bands(bands: DataFrame, is_new) -> DataFrame:
 #: hold the expected bucket occupancy (and hence probe fan-out)
 #: constant — the same rule dedup_embedding_cosine documents for its
 #: bucket cap; 8 planes/table sizes the buckets for the test SFs.
-ANN_INDEX_TABLES = 4
-ANN_INDEX_PLANES = 8
+#: env-tunable so bench runs can exercise the log(N) sizing (the driver
+#: gate and the DuckDB oracle both read these constants, so they stay
+#: consistent at any setting); planes are bounded by the 64-dim slice:
+#: table t reads dims [t*16+1, t*16+planes], so 16*(tables-1)+planes<=64
+ANN_INDEX_TABLES = int(os.environ.get("TIS_ANN_TABLES", "4"))
+ANN_INDEX_PLANES = int(os.environ.get("TIS_ANN_PLANES", "8"))
+assert 16 * (ANN_INDEX_TABLES - 1) + ANN_INDEX_PLANES <= 64, (
+    ANN_INDEX_TABLES,
+    ANN_INDEX_PLANES,
+)
 
 
 @derived_transform("emb_sign_buckets")
