@@ -923,3 +923,75 @@ def test_matview_exact_extrema_multi_column_groups(spark, tmp_path, monkeypatch)
     mv.refresh()
     check(mv)
     assert mv.refresh()["up_to_date"]
+
+
+def test_matview_variance_aggs_track_recompute_without_recompute_read(
+    spark, tmp_path, monkeypatch
+):
+    """var_pop/stddev_pop are maintained as the signed power-sum triple
+    (sum, sumsq, non-null count), so — unlike min/max — retractions need
+    NO recompute path: value updates, group moves, deletes, group death +
+    rebirth and an all-null group (var NULL) all land on the F.var_pop /
+    F.stddev_pop recompute while ``_recompute_read`` is never invoked."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [("a1", "x", 4), ("a2", "x", 8), ("b1", "y", 3)])
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp"],
+        {
+            "n_rows": ("count", None),
+            "var_val": ("var_pop", "val"),
+            "sd_val": ("stddev_pop", "val"),
+        },
+    )
+    mv.full_build()
+
+    def boom(self, *a, **k):  # var-only views must never rescan the source
+        raise AssertionError("_recompute_read must not run for power-sum aggs")
+
+    monkeypatch.setattr(MaterializedView, "_recompute_read", boom)
+
+    def check():
+        got = {r["grp"]: r for r in mv.read().collect()}
+        want = {
+            r["grp"]: r
+            for r in src.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.var_pop("val").alias("var_val"),
+                F.stddev_pop("val").alias("sd_val"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["n_rows"] == want[g]["n_rows"], g
+            for c in ("var_val", "sd_val"):
+                if want[g][c] is None:
+                    assert got[g][c] is None, (g, c)
+                else:
+                    assert got[g][c] == pytest.approx(want[g][c], abs=1e-9), (g, c)
+
+    # value update (8 -> 1) + insert + new all-null group; then a group
+    # move (x -> y), a delete emptying z, and rebirth — every retraction
+    # shape, zero recompute reads
+    _apply(spark, src, 1, [("a2", "x", 1), ("c1", "z", 7), ("n1", "w", None)])
+    mv.refresh()
+    check()
+    _apply(spark, src, 2, [("a1", "y", 4)], deletes=["c1"])
+    mv.refresh()
+    check()
+    view = {r["grp"]: r for r in mv.read().collect()}
+    assert "z" not in view
+    assert view["w"]["var_val"] is None and view["w"]["sd_val"] is None
+    _apply(spark, src, 3, [("c9", "z", 11), ("n1", "w", 6), ("n2", "w", 2)])
+    mv.refresh()
+    check()
+    # single-row and two-row groups: exact integer state => exact var
+    view = {r["grp"]: r for r in mv.read().collect()}
+    assert view["z"]["var_val"] == 0.0
+    assert view["w"]["var_val"] == 4.0 and view["w"]["sd_val"] == 2.0
+    assert mv.refresh()["up_to_date"]

@@ -50,6 +50,15 @@ Maintenance algebra per group g:
   snapshot chain, so a crash between aux and view commits self-heals.
 * ``avg`` is maintained as (double sum, non-null count) and derived at
   ``read()`` — exactly delta-maintainable like sum.
+* ``var_pop`` / ``stddev_pop`` are maintained as the power-sum triple
+  (sum, sum-of-squares, non-null count) — each term is a signed sum, so
+  variance is delta-maintainable even under deletion with NO recompute
+  path at all (unlike min/max).  ``read()`` derives
+  var = (s2 - s1^2/n)/n (clamped at 0 against float cancellation) and
+  stddev = sqrt(var).  Integral sources keep the power sums in exact
+  int64 (s2 overflows earliest: |v| <= 3M is safe at 10^9 rows per
+  group); float sources accumulate in a different order than a rescan
+  would — the same caveat as ``sum``.
 * ``approx_distinct`` maintains a k-minimum-values sketch (the k
   smallest md5 hashes of the column, ``operators/analytics.py``'s
   deterministic KMV shape): inserts merge the batch's min-k into the
@@ -87,7 +96,7 @@ N_COL = "_mv_n"  # maintained group cardinality; also the view's version col
 AUX_N_COL = "_mvx_n"  # multiset multiplicity in an exact-extrema auxiliary
 _SPEC_FILE = "mv.json"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-AGG_FNS = {"count", "sum", "min", "max", "avg", "approx_distinct"}
+AGG_FNS = {"count", "sum", "min", "max", "avg", "approx_distinct", "var_pop", "stddev_pop"}
 #: default k for approx_distinct KMV sketches (overridable at create())
 KMV_K = 256
 #: bounded-collect cap for the retracted-group set (same policy as the
@@ -110,6 +119,12 @@ AUX_FILE_ROWS = int(os.environ.get("TIS_MV_AUX_FILE_ROWS", 1_000_000))
 
 def _nn(out: str) -> str:
     return f"_mv_nn_{out}"
+
+
+def _s1(out: str) -> str:
+    # first power-sum of a var_pop/stddev_pop state triple (the stored
+    # ``out`` column holds the second power-sum, _nn the non-null count)
+    return f"_mv_s1_{out}"
 
 
 def _null_safe_on(left: DataFrame, right: DataFrame, cols: list[str]) -> Column:
@@ -158,11 +173,12 @@ class MaterializedView:
     ) -> "MaterializedView":
         """Define the view (no data yet — call ``full_build``).  ``aggs``
         maps output column -> (fn, source column); fn in {approx_distinct,
-        avg, count, max, min, sum} (count takes no column).  Aggregated
-        columns must exist in the source schema at create time.  ``avg``
-        is stored as its (double sum, non-null count) pair and
-        ``approx_distinct`` as its min-``kmv_k`` hash sketch, both derived
-        at ``read()``.
+        avg, count, max, min, stddev_pop, sum, var_pop} (count takes no
+        column).  Aggregated columns must exist in the source schema at
+        create time.  ``avg`` is stored as its (double sum, non-null
+        count) pair, ``var_pop``/``stddev_pop`` as the power-sum triple
+        (sum, sum-of-squares, non-null count) and ``approx_distinct`` as
+        its min-``kmv_k`` hash sketch, all derived at ``read()``.
 
         ``exact_extrema=True`` additionally maintains, for every column a
         min/max/approx_distinct agg reads, a per-(group, value) multiset
@@ -185,8 +201,9 @@ class MaterializedView:
                 raise ValueError(
                     f"unsupported agg fn {fn!r} for output {out!r}; "
                     f"supported: {sorted(AGG_FNS)} (avg is maintained as "
-                    "sum+count; other aggs need per-group auxiliary state "
-                    "and are not delta-maintainable here)"
+                    "sum+count, var_pop/stddev_pop as sum+sumsq+count; "
+                    "other aggs need per-group auxiliary state and are "
+                    "not delta-maintainable here)"
                 )
             assert out not in {f.name for f in fields}, f"duplicate output {out!r}"
             if fn == "count":
@@ -202,6 +219,11 @@ class MaterializedView:
                     else T.LongType()
                 )
                 fields.append(T.StructField(out, ot))
+                fields.append(T.StructField(_nn(out), T.LongType()))
+            elif fn in ("var_pop", "stddev_pop"):
+                ot = T.LongType() if isinstance(st, _INTEGRAL) else T.DoubleType()
+                fields.append(T.StructField(out, ot))  # sum of squares
+                fields.append(T.StructField(_s1(out), ot))  # sum
                 fields.append(T.StructField(_nn(out), T.LongType()))
             elif fn == "approx_distinct":
                 fields.append(T.StructField(out, T.ArrayType(T.StringType())))
@@ -274,6 +296,12 @@ class MaterializedView:
             elif fn in ("sum", "avg"):
                 st = types[out]
                 exprs.append(F.coalesce(F.sum(F.col(col).cast(st)), F.lit(0).cast(st)).alias(out))
+                exprs.append(F.count(col).cast("long").alias(_nn(out)))
+            elif fn in ("var_pop", "stddev_pop"):
+                st = types[out]
+                v = F.col(col).cast(st)
+                exprs.append(F.coalesce(F.sum(v * v), F.lit(0).cast(st)).alias(out))
+                exprs.append(F.coalesce(F.sum(v), F.lit(0).cast(st)).alias(_s1(out)))
                 exprs.append(F.count(col).cast("long").alias(_nn(out)))
             elif fn == "min":
                 exprs.append(F.min(col).alias(out))
@@ -383,7 +411,7 @@ class MaterializedView:
                     if st != aux_t:
                         drift.append((col, aux_t, st))
                 continue
-            if fn in ("sum", "avg"):
+            if fn in ("sum", "avg", "var_pop", "stddev_pop"):
                 want = (
                     T.DoubleType()
                     if fn == "avg" or not isinstance(st, _INTEGRAL)
@@ -804,6 +832,25 @@ class MaterializedView:
                     .cast("long")
                     .alias(f"_dn_{out}")
                 )
+            elif fn in ("var_pop", "stddev_pop"):
+                st = types[out]
+                v = F.col(col).cast(st)
+                dexprs.append(
+                    F.coalesce(
+                        F.sum(F.when(v.isNotNull(), sign.cast(st) * v * v)),
+                        F.lit(0).cast(st),
+                    ).alias(f"_d_{out}")
+                )
+                dexprs.append(
+                    F.coalesce(
+                        F.sum(F.when(v.isNotNull(), sign.cast(st) * v)), F.lit(0).cast(st)
+                    ).alias(f"_d1_{out}")
+                )
+                dexprs.append(
+                    F.coalesce(F.sum(F.when(F.col(col).isNotNull(), sign)), F.lit(0))
+                    .cast("long")
+                    .alias(f"_dn_{out}")
+                )
             elif fn == "min":
                 has_extrema = True
                 dexprs.append(F.min(F.when(sign > 0, F.col(col))).alias(f"_ins_{out}"))
@@ -910,6 +957,19 @@ class MaterializedView:
                     out_cols.append(
                         (F.coalesce(old[_nn(out)], F.lit(0)) + delta[f"_dn_{out}"]).alias(_nn(out))
                     )
+                elif fn in ("var_pop", "stddev_pop"):
+                    st = types[out]
+                    out_cols.append(
+                        (F.coalesce(old[out], F.lit(0).cast(st)) + delta[f"_d_{out}"]).alias(out)
+                    )
+                    out_cols.append(
+                        (
+                            F.coalesce(old[_s1(out)], F.lit(0).cast(st)) + delta[f"_d1_{out}"]
+                        ).alias(_s1(out))
+                    )
+                    out_cols.append(
+                        (F.coalesce(old[_nn(out)], F.lit(0)) + delta[f"_dn_{out}"]).alias(_nn(out))
+                    )
                 elif fn == "approx_distinct":
                     empty = F.array().cast("array<string>")
                     gained = F.slice(
@@ -984,6 +1044,19 @@ class MaterializedView:
             elif fn == "avg":
                 cols.append(
                     F.when(F.col(_nn(out)) > 0, F.col(out) / F.col(_nn(out))).alias(out)
+                )
+            elif fn in ("var_pop", "stddev_pop"):
+                # var = (s2 - s1^2/n)/n; exact for integral state, clamped
+                # at 0 against float cancellation for double state
+                nn = F.col(_nn(out)).cast("double")
+                s1 = F.col(_s1(out)).cast("double")
+                s2 = F.col(out).cast("double")
+                var = F.greatest(F.lit(0.0), (s2 - s1 * s1 / nn) / nn)
+                cols.append(
+                    F.when(
+                        F.col(_nn(out)) > 0,
+                        F.sqrt(var) if fn == "stddev_pop" else var,
+                    ).alias(out)
                 )
             elif fn == "approx_distinct":
                 # exact below k (the sketch holds every distinct hash);

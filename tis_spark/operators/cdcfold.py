@@ -38,22 +38,29 @@ from tis_spark.operators import load, query
 BASE_S = 1_704_067_200  # 2024-01-01T00:00:00Z, the version-clock origin
 
 
-def derived_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derived_changes(
+    spark: SparkSession, sf_dir: str, with_status: bool = False
+) -> DataFrame:
     """events table -> CHANGE_SCHEMA stream: seq = event_id + 1 (dense),
     key = 'u'||user_id, op from event_type, version = origin + seq seconds
     (strictly monotone), html = a <title> token so the extracted text is a
-    closed-form string both engines can compute."""
+    closed-form string both engines can compute.  ``with_status=True``
+    additionally stamps the after image's ``fetch_status`` with the
+    closed-form ``seq % 997`` (callers that aggregate a numeric column —
+    the variance view — use it; the default stream keeps it null so every
+    pre-existing oracle stays byte-identical)."""
     ev = load(spark, sf_dir, "events")
     seq = (F.col("event_id") + 1).cast("long")
     url = F.concat(F.lit("u"), F.col("user_id").cast("string"))
     version = F.timestamp_seconds(F.lit(BASE_S) + seq)
     token = F.concat(F.lit("pg_"), url, F.lit("_"), seq.cast("string"))
+    status = (seq % 997) if with_status else F.lit(None).cast("long")
     after = F.struct(
         url.alias("url"),
         version.alias("warc_ts"),
         F.encode(F.concat(F.lit("<title>"), token, F.lit("</title>")), "UTF-8").alias("html"),
         F.col("event_type").alias("lang"),
-        F.lit(None).cast("long").alias("fetch_status"),
+        status.cast("long").alias("fetch_status"),
         F.lit(None).cast("double").alias("score"),
     )
     before = F.struct(
@@ -73,7 +80,7 @@ def derived_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         version.alias("ts_ms"),
         F.lit("pages").alias("table"),
-        F.lit(1).cast("int").alias("schema_version"),
+        F.lit(2 if with_status else 1).cast("int").alias("schema_version"),
         F.lit(None).cast("string").alias("ddl"),
         before.alias("before"),
         after.alias("after"),
@@ -441,6 +448,107 @@ def matview_exact_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_versions"))
     )
     return view.join(aux_counts, "lang")
+
+
+@query(
+    "matview_variance_profile",
+    f"""
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    ),
+    state AS (
+      SELECT url, event_type AS lang, (seq % 997) AS fs
+      FROM win WHERE rn = 1
+    ),
+    sums AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(count(fs) AS BIGINT) AS st_n,
+             CAST(sum(fs) AS BIGINT) AS st_sum,
+             CAST(sum(fs * fs) AS BIGINT) AS st_sumsq
+      FROM state GROUP BY lang
+    )
+    SELECT lang, n_pages, st_n, st_sum, st_sumsq,
+           st_n * st_sumsq - st_sum * st_sum AS nvar2
+    FROM sums
+    """,
+)
+def matview_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained variance view, driver-checkable: same
+    half-replay protocol as ``matview_group_rollup``, but the per-lang
+    view carries ``var_pop(fetch_status)`` — maintained as the signed
+    power-sum triple (sum, sum-of-squares, non-null count,
+    lake/matview.py), so the second half's group-churning updates and
+    deletes are pure delta arithmetic: variance needs NO retraction
+    recompute path at all, and the refresh never reads the source beyond
+    the changelog.  The query exposes the maintained state itself
+    (st_n/st_sum/st_sumsq, exact int64 on the integral source column)
+    plus the derived ``nvar2 = n*s2 - s1^2`` (= n^2 * var_pop, exact
+    integer arithmetic) so both engines tie bit-for-bit with no float in
+    the hash.
+
+    Reference contrast: TIS surfaces stats only via full Solr faceting
+    over a rebuilt index (tis-index-builder); here second moments ride
+    the view's O(changed keys) refresh.
+    """
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.lake.matview import MaterializedView, _nn, _s1
+
+    table_dir = tempfile.mkdtemp(prefix="tis-mvvar-")
+    changes = derived_changes(spark, sf_dir, with_status=True)
+    # the engine's table starts at PAGES_SCHEMA_V1 (no fetch_status); a
+    # stream-delivered DDL at seq 0 adds it through the real evolution
+    # path (registry.apply_ddl) before any data row folds
+    st = changes.schema["before"].dataType
+    ddl_row = spark.range(1).select(
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(0).cast("long").alias("delivery_key"),
+        F.lit("DDL").alias("op"),
+        F.timestamp_seconds(F.lit(BASE_S)).alias("ts_ms"),
+        F.lit("pages").alias("table"),
+        F.lit(2).cast("int").alias("schema_version"),
+        F.lit("ADD COLUMN fetch_status bigint").alias("ddl"),
+        F.lit(None).cast(st).alias("before"),
+        F.lit(None).cast(st).alias("after"),
+        F.lit(0).cast("int").alias("epoch_hint"),
+    )
+    changes = ddl_row.unionByName(changes)
+    max_seq = changes.agg(F.max("seq")).first()[0]
+    ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
+    half = ep * max(1, max_seq // (2 * ep))
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    ingest.replay(changes.filter(F.col("seq") < half), epoch_size=ep)
+    mv = MaterializedView.create(
+        spark,
+        table_dir + "_mv",
+        ingest.table,
+        ["lang"],
+        {"n_pages": ("count", None), "var_fs": ("var_pop", "fetch_status")},
+    )
+    mv.full_build()
+    ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
+    mv.refresh()
+    s2, s1, nn = F.col("var_fs"), F.col(_s1("var_fs")), F.col(_nn("var_fs"))
+    return mv.read(with_internal=True).select(
+        "lang",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        nn.cast("long").alias("st_n"),
+        s1.cast("long").alias("st_sum"),
+        s2.cast("long").alias("st_sumsq"),
+        (nn * s2 - s1 * s1).cast("long").alias("nvar2"),
+    )
 
 
 # ------------------------------------------------------------------ derived
