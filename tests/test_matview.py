@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -995,3 +996,63 @@ def test_matview_variance_aggs_track_recompute_without_recompute_read(
     assert view["z"]["var_val"] == 0.0
     assert view["w"]["var_val"] == 4.0 and view["w"]["sd_val"] == 2.0
     assert mv.refresh()["up_to_date"]
+
+
+def test_matview_read_topk_values_tracks_recompute(spark, tmp_path):
+    """Exact heavy hitters from the multiset auxiliary: after every
+    mutation shape (gains, value updates, group moves, deletes), the
+    top-k most frequent live values per group equal a direct frequency
+    ranking over the source — and the read requires exact_extrema."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(
+        spark,
+        src,
+        0,
+        [("a1", "x", 7), ("a2", "x", 7), ("a3", "x", 5), ("a4", "x", 5), ("a5", "x", 3), ("b1", "y", 9)],
+    )
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp"],
+        {"n_rows": ("count", None), "max_val": ("max", "val")},
+        exact_extrema=True,
+    )
+    mv.full_build()
+
+    def check(k=2):
+        got = [tuple(r) for r in mv.read_topk_values("val", k).orderBy("grp", "rank").collect()]
+        want = [
+            tuple(r)
+            for r in src.read()
+            .filter(F.col("val").isNotNull())
+            .groupBy("grp", "val")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .withColumn(
+                "rank",
+                F.row_number()
+                .over(Window.partitionBy("grp").orderBy(F.desc("freq"), F.asc("val")))
+                .cast("long"),
+            )
+            .filter(F.col("rank") <= k)
+            .select("grp", "val", "freq", "rank")
+            .orderBy("grp", "rank")
+            .collect()
+        ]
+        assert got == want
+
+    check()
+    # 7 loses a holder (a2 -> 5): 5 takes rank 1 with freq 3
+    _apply(spark, src, 1, [("a2", "x", 5)])
+    mv.refresh()
+    check()
+    # group move shifts a frequency across groups; delete drops one
+    _apply(spark, src, 2, [("a3", "y", 9)], deletes=["a5"])
+    mv.refresh()
+    check()
+    # ties on freq break by value ascending (5 vs 7 at freq 2 after churn)
+    _apply(spark, src, 3, [("c1", "x", 7), ("c2", "x", 3), ("c3", "x", 3)])
+    mv.refresh()
+    check(k=3)
+    with pytest.raises(ValueError, match="exact_extrema"):
+        mv.read_topk_values("grp", 2)

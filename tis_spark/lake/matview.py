@@ -1030,6 +1030,42 @@ class MaterializedView:
 
     # ----------------------------------------------------------------- read
 
+    def read_topk_values(self, col: str, k: int) -> DataFrame:
+        """Per-group top-``k`` most frequent live values of ``col`` —
+        EXACT heavy hitters, derived entirely from the exact-extrema
+        multiset auxiliary (requires ``exact_extrema=True`` at
+        ``create()`` and a min/max/approx_distinct agg over ``col`` so
+        the multiset exists).  Ties break by value ascending, so the
+        result is deterministic across engines and cluster sizes.
+
+        Scale shape: the multiset is the maintained state — one row per
+        live (group, value), count-delta-maintained from the changelog —
+        so this read shuffles O(distinct (group, value)) multiplicity
+        rows into a per-group window and never touches the source.  The
+        reference exposes value frequencies only via Solr faceting over
+        a fully rebuilt index (tis-index-builder); here they ride the
+        same O(changed keys) refresh as the view."""
+        if col not in self.aux:
+            raise ValueError(
+                f"no multiset auxiliary for {col!r} — create the view with "
+                f"exact_extrema=True and a min/max/approx_distinct agg over "
+                f"it (have: {sorted(self.aux)})"
+            )
+        live = self.aux[col].read().filter(F.col(AUX_N_COL) > 0)
+        w = Window.partitionBy(*self.group_cols).orderBy(
+            F.desc(AUX_N_COL), F.asc(col)
+        )
+        return (
+            live.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select(
+                *self.group_cols,
+                col,
+                F.col(AUX_N_COL).cast("long").alias("freq"),
+                F.col("_rk").cast("long").alias("rank"),
+            )
+        )
+
     def read(self, with_internal: bool = False) -> DataFrame:
         """Current view state: group cols + aggregate outputs.  Sums whose
         group holds only nulls expose SQL's NULL (the maintained raw sum is

@@ -551,6 +551,104 @@ def matview_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "matview_topk_values",
+    """
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    ),
+    state AS (
+      SELECT url, event_type AS lang, ((seq % 997) % 13) AS fs
+      FROM win WHERE rn = 1
+    ),
+    freq AS (
+      SELECT lang, fs, CAST(count(*) AS BIGINT) AS freq
+      FROM state GROUP BY lang, fs
+    ),
+    rk AS (
+      SELECT lang, fs, freq,
+             row_number() OVER (PARTITION BY lang ORDER BY freq DESC, fs ASC) AS r
+      FROM freq
+    )
+    SELECT lang, fs AS fetch_status, freq, CAST(r AS BIGINT) AS rank
+    FROM rk WHERE r <= 3
+    """,
+)
+def matview_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters over maintained state, driver-
+    checkable: the same half-replay protocol as ``matview_exact_extrema``
+    (view over lang with ``exact_extrema=True``), then the top-3 most
+    frequent ``fetch_status % 13`` values per lang come from
+    ``MaterializedView.read_topk_values`` — a window over the per-(group,
+    value) multiset auxiliary, which the changelog has been keeping
+    current in O(changed keys) per refresh.  The modulus compresses the
+    status domain so values genuinely repeat and the frequency ranking is
+    exercised (ties break by value, deterministic in both engines).  A
+    green hash proves the maintained multiset's multiplicities equal the
+    true per-value counts of the final folded state — which the DuckDB
+    oracle computes directly.
+
+    Reference contrast: value-frequency surfacing in TIS is Solr faceting
+    over a full index rebuild (tis-index-builder); here heavy hitters are
+    a derived read over incrementally-maintained state.
+    """
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.lake.matview import MaterializedView
+
+    table_dir = tempfile.mkdtemp(prefix="tis-mvtopk-")
+    changes = derived_changes(spark, sf_dir, with_status=True)
+    st = changes.schema["before"].dataType
+    ddl_row = spark.range(1).select(
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(0).cast("long").alias("delivery_key"),
+        F.lit("DDL").alias("op"),
+        F.timestamp_seconds(F.lit(BASE_S)).alias("ts_ms"),
+        F.lit("pages").alias("table"),
+        F.lit(2).cast("int").alias("schema_version"),
+        F.lit("ADD COLUMN fetch_status bigint").alias("ddl"),
+        F.lit(None).cast(st).alias("before"),
+        F.lit(None).cast(st).alias("after"),
+        F.lit(0).cast("int").alias("epoch_hint"),
+    )
+    # compress the status domain (% 13) so per-(lang, value) frequencies
+    # exceed 1 and the heavy-hitter ranking is non-trivial
+    changes = ddl_row.unionByName(
+        changes.withColumn(
+            "after",
+            F.col("after").withField("fetch_status", F.col("after.fetch_status") % 13),
+        )
+    )
+    max_seq = changes.agg(F.max("seq")).first()[0]
+    ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
+    half = ep * max(1, max_seq // (2 * ep))
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    ingest.replay(changes.filter(F.col("seq") < half), epoch_size=ep)
+    mv = MaterializedView.create(
+        spark,
+        table_dir + "_mv",
+        ingest.table,
+        ["lang"],
+        {"n_pages": ("count", None), "max_fs": ("max", "fetch_status")},
+        exact_extrema=True,
+    )
+    mv.full_build()
+    ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
+    mv.refresh()
+    return mv.read_topk_values("fetch_status", 3)
+
+
 # ------------------------------------------------------------------ derived
 
 from tis_spark.lake.derived import derived_transform  # noqa: E402
