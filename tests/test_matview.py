@@ -1056,3 +1056,82 @@ def test_matview_read_topk_values_tracks_recompute(spark, tmp_path):
     check(k=3)
     with pytest.raises(ValueError, match="exact_extrema"):
         mv.read_topk_values("grp", 2)
+
+
+def test_matview_histogram_and_quantiles_track_recompute(spark, tmp_path, monkeypatch):
+    """histogram is an array of signed per-bin counts — delta-maintainable
+    under every mutation shape with NO recompute path — and
+    read_quantile_bins derives exact division-free percentile bins from
+    the maintained counts.  Ground truth: recomputed binning + cumulative
+    ranking over the source."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [("a1", "x", 0), ("a2", "x", 5), ("a3", "x", 17), ("b1", "y", 99)])
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp"],
+        {"n_rows": ("count", None), "val_hist": ("histogram", "val")},
+        hist_specs={"val_hist": (0, 20, 4)},  # bins of width 5; 99 clamps to bin 3
+    )
+    mv.full_build()
+
+    def boom(self, *a, **k):
+        raise AssertionError("_recompute_read must not run for histogram aggs")
+
+    monkeypatch.setattr(MaterializedView, "_recompute_read", boom)
+
+    def check():
+        got = {
+            tuple(r[c] for c in ("grp", "bin")): r["cnt"]
+            for r in mv.read_histogram("val_hist").collect()
+        }
+        want_rows = (
+            src.read()
+            .filter(F.col("val").isNotNull())
+            .withColumn(
+                "bin",
+                F.least(F.greatest(F.floor(F.col("val") / 5), F.lit(0)), F.lit(3)).cast("long"),
+            )
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        )
+        want = {(r["grp"], r["bin"]): r["cnt"] for r in want_rows}
+        assert got == want
+        # quantile bins: smallest bin with cum >= ceil(q*n)
+        q = {r["grp"]: r for r in mv.read_quantile_bins("val_hist", {"p50": (1, 2), "p100": (1, 1)}).collect()}
+        import math
+        per_grp: dict = {}
+        for (g, b), c in want.items():
+            per_grp.setdefault(g, []).extend([b] * c)
+        for g, bins in per_grp.items():
+            bins.sort()
+            n = len(bins)
+            assert q[g]["n_vals"] == n, g
+            assert q[g]["p50"] == bins[math.ceil(n / 2) - 1], g
+            assert q[g]["p100"] == bins[-1], g
+
+    check()
+    # value updates move bins; delete retracts; group move shifts counts
+    _apply(spark, src, 1, [("a2", "x", 19), ("c1", "z", 7), ("n1", "w", None)])
+    mv.refresh()
+    check()
+    _apply(spark, src, 2, [("a3", "y", 3)], deletes=["c1"])
+    mv.refresh()
+    check()
+    # all-null group: NULL quantiles, zero n_vals
+    q = {r["grp"]: r for r in mv.read_quantile_bins("val_hist", {"p50": (1, 2)}).collect()}
+    assert q["w"]["n_vals"] == 0 and q["w"]["p50"] is None
+    # death + rebirth
+    _apply(spark, src, 3, [("c9", "z", 12)], deletes=["b1"])
+    mv.refresh()
+    check()
+    assert mv.refresh()["up_to_date"]
+    # a reloaded handle keeps the spec (hist_specs round-trips the JSON)
+    mv2 = MaterializedView(spark, str(tmp_path / "mv"))
+    assert mv2.hist_specs["val_hist"][:3] == (0, 20, 4)
+    with pytest.raises(ValueError, match="hist_specs"):
+        MaterializedView.create(
+            spark, str(tmp_path / "mv2"), src, ["grp"], {"h": ("histogram", "val")}
+        )

@@ -59,6 +59,13 @@ Maintenance algebra per group g:
   int64 (s2 overflows earliest: |v| <= 3M is safe at 10^9 rows per
   group); float sources accumulate in a different order than a rescan
   would — the same caveat as ``sum``.
+* ``histogram`` maintains an ``array<long>`` of fixed-bin counts (values
+  clamp into the edge bins; exact int64 bin arithmetic for integral
+  columns/bounds) — every bin is a signed sum, so the whole distribution
+  is delta-maintainable under deletion with no recompute path.
+  ``read_quantile_bins`` derives per-group percentiles from the
+  maintained counts (cum*den >= n*num, division-free int64), and
+  ``read_histogram`` explodes the raw bins.
 * ``approx_distinct`` maintains a k-minimum-values sketch (the k
   smallest md5 hashes of the column, ``operators/analytics.py``'s
   deterministic KMV shape): inserts merge the batch's min-k into the
@@ -96,7 +103,17 @@ N_COL = "_mv_n"  # maintained group cardinality; also the view's version col
 AUX_N_COL = "_mvx_n"  # multiset multiplicity in an exact-extrema auxiliary
 _SPEC_FILE = "mv.json"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-AGG_FNS = {"count", "sum", "min", "max", "avg", "approx_distinct", "var_pop", "stddev_pop"}
+AGG_FNS = {
+    "count",
+    "sum",
+    "min",
+    "max",
+    "avg",
+    "approx_distinct",
+    "var_pop",
+    "stddev_pop",
+    "histogram",
+}
 #: default k for approx_distinct KMV sketches (overridable at create())
 KMV_K = 256
 #: bounded-collect cap for the retracted-group set (same policy as the
@@ -146,6 +163,10 @@ class MaterializedView:
         self.group_cols: list[str] = spec["group_cols"]
         self.aggs: list[tuple[str, str, str | None]] = [tuple(a) for a in spec["aggs"]]
         self.kmv_k: int = int(spec.get("kmv_k", KMV_K))
+        #: histogram output -> (lo, hi, n_bins)
+        self.hist_specs: dict[str, tuple] = {
+            out: tuple(s) for out, s in spec.get("hist_specs", {}).items()
+        }
         self.source = source if source is not None else LakeTable.load(spark, spec["source"])
         #: exact-extrema multiset auxiliaries: value column -> LakeTable of
         #: per-(group, value) live multiplicities (see _aux_path)
@@ -170,6 +191,7 @@ class MaterializedView:
         num_buckets: int = 16,
         kmv_k: int = KMV_K,
         exact_extrema: bool = False,
+        hist_specs: dict[str, tuple[float, float, int]] | None = None,
     ) -> "MaterializedView":
         """Define the view (no data yet — call ``full_build``).  ``aggs``
         maps output column -> (fn, source column); fn in {approx_distinct,
@@ -179,6 +201,13 @@ class MaterializedView:
         count) pair, ``var_pop``/``stddev_pop`` as the power-sum triple
         (sum, sum-of-squares, non-null count) and ``approx_distinct`` as
         its min-``kmv_k`` hash sketch, all derived at ``read()``.
+
+        ``histogram`` aggs additionally require an entry in ``hist_specs``
+        mapping the output to ``(lo, hi, n_bins)``: the state is an
+        ``array<long>`` of per-bin counts (values clamp into the edge
+        bins), each a signed sum — delta-maintainable under deletion with
+        no recompute path, and the basis for the derived
+        :meth:`read_quantile_bins` percentiles.
 
         ``exact_extrema=True`` additionally maintains, for every column a
         min/max/approx_distinct agg reads, a per-(group, value) multiset
@@ -225,6 +254,24 @@ class MaterializedView:
                 fields.append(T.StructField(out, ot))  # sum of squares
                 fields.append(T.StructField(_s1(out), ot))  # sum
                 fields.append(T.StructField(_nn(out), T.LongType()))
+            elif fn == "histogram":
+                spec = (hist_specs or {}).get(out)
+                if spec is None:
+                    raise ValueError(
+                        f"histogram agg {out!r} needs hist_specs[{out!r}] = "
+                        "(lo, hi, n_bins)"
+                    )
+                lo, hi, nb = spec
+                assert hi > lo and int(nb) >= 1, spec
+                # exact integer binning (engine-portable DIV arithmetic)
+                # when the column and both bounds are integral
+                exact = (
+                    isinstance(st, _INTEGRAL)
+                    and float(lo).is_integer()
+                    and float(hi).is_integer()
+                )
+                hist_specs[out] = (lo, hi, int(nb), bool(exact))
+                fields.append(T.StructField(out, T.ArrayType(T.LongType())))
             elif fn == "approx_distinct":
                 fields.append(T.StructField(out, T.ArrayType(T.StringType())))
             else:
@@ -277,6 +324,11 @@ class MaterializedView:
                     "aggs": norm,
                     "kmv_k": kmv_k,
                     "aux_cols": aux_cols,
+                    "hist_specs": {
+                        out: list(spec)
+                        for out, spec in (hist_specs or {}).items()
+                        if any(o == out and fn == "histogram" for o, fn, _ in norm)
+                    },
                 },
                 f,
             )
@@ -286,6 +338,47 @@ class MaterializedView:
 
     def _types(self) -> dict[str, T.DataType]:
         return {f.name: f.dataType for f in self.table.current_snapshot().schema.fields}
+
+    def _bin_expr(self, col: str, out: str) -> Column:
+        """Histogram bin index of ``col`` under ``out``'s spec: values
+        clamp into the edge bins, nulls stay null.  With integral column
+        and bounds the index is pure int64 DIV arithmetic (bit-identical
+        across engines); otherwise floor of a double ratio.  Negative
+        pre-clamp indexes may truncate vs floor differently across
+        engines, but both land <= 0 and the clamp makes them equal."""
+        lo, hi, nb = self.hist_specs[out][:3]
+        exact = bool(self.hist_specs[out][3]) if len(self.hist_specs[out]) > 3 else False
+        if exact:
+            raw = F.expr(
+                f"((CAST(`{col}` AS BIGINT) - {int(lo)}L) * {int(nb)}L) "
+                f"DIV {int(hi) - int(lo)}L"
+            )
+        else:
+            raw = F.floor(
+                (F.col(col).cast("double") - F.lit(float(lo)))
+                * int(nb)
+                / F.lit(float(hi) - float(lo))
+            )
+        z = F.lit(0).cast("long")
+        clamped = F.least(F.greatest(raw.cast("long"), z), F.lit(int(nb) - 1).cast("long"))
+        # greatest/least SKIP nulls (greatest(NULL, 0) = 0), so gate
+        # explicitly: a null value belongs to no bin
+        return F.when(F.col(col).isNotNull(), clamped)
+
+    def _hist_array(self, col: str, out: str, weight: Column, alias: str | None = None) -> Column:
+        """Per-bin signed-count aggregate expression (one array column):
+        each bin is an independent signed sum, so the histogram is
+        delta-maintainable exactly like count/sum."""
+        nb = int(self.hist_specs[out][2])
+        b = self._bin_expr(col, out)
+        return F.array(
+            *[
+                F.coalesce(
+                    F.sum(F.when(b == i, weight).otherwise(F.lit(0))), F.lit(0)
+                ).cast("long")
+                for i in range(nb)
+            ]
+        ).alias(alias or out)
 
     def _agg_exprs(self) -> list[Column]:
         types = self._types()
@@ -303,6 +396,8 @@ class MaterializedView:
                 exprs.append(F.coalesce(F.sum(v * v), F.lit(0).cast(st)).alias(out))
                 exprs.append(F.coalesce(F.sum(v), F.lit(0).cast(st)).alias(_s1(out)))
                 exprs.append(F.count(col).cast("long").alias(_nn(out)))
+            elif fn == "histogram":
+                exprs.append(self._hist_array(col, out, F.lit(1)))
             elif fn == "min":
                 exprs.append(F.min(col).alias(out))
             elif fn == "max":
@@ -410,6 +505,14 @@ class MaterializedView:
                     )
                     if st != aux_t:
                         drift.append((col, aux_t, st))
+                continue
+            if fn == "histogram":
+                # array<long> state is type-stable; drift only if the
+                # column vanished, or exact-integer binning would now
+                # truncate a widened non-integral source
+                exact = len(self.hist_specs[out]) > 3 and self.hist_specs[out][3]
+                if st is None or (exact and not isinstance(st, _INTEGRAL)):
+                    drift.append((col, T.ArrayType(T.LongType()), st))
                 continue
             if fn in ("sum", "avg", "var_pop", "stddev_pop"):
                 want = (
@@ -851,6 +954,8 @@ class MaterializedView:
                     .cast("long")
                     .alias(f"_dn_{out}")
                 )
+            elif fn == "histogram":
+                dexprs.append(self._hist_array(col, out, sign, alias=f"_d_{out}"))
             elif fn == "min":
                 has_extrema = True
                 dexprs.append(F.min(F.when(sign > 0, F.col(col))).alias(f"_ins_{out}"))
@@ -970,6 +1075,16 @@ class MaterializedView:
                     out_cols.append(
                         (F.coalesce(old[_nn(out)], F.lit(0)) + delta[f"_dn_{out}"]).alias(_nn(out))
                     )
+                elif fn == "histogram":
+                    nb = int(self.hist_specs[out][2])
+                    zeros = F.array_repeat(F.lit(0).cast("long"), nb)
+                    out_cols.append(
+                        F.zip_with(
+                            F.coalesce(old[out], zeros),
+                            delta[f"_d_{out}"],
+                            lambda a, b: a + b,
+                        ).alias(out)
+                    )
                 elif fn == "approx_distinct":
                     empty = F.array().cast("array<string>")
                     gained = F.slice(
@@ -1064,6 +1179,63 @@ class MaterializedView:
                 F.col(AUX_N_COL).cast("long").alias("freq"),
                 F.col("_rk").cast("long").alias("rank"),
             )
+        )
+
+    def read_histogram(self, out: str) -> DataFrame:
+        """Exploded view of one maintained histogram: (group cols, bin,
+        cnt) for non-empty bins — O(groups x n_bins) rows of maintained
+        state, never a source read."""
+        assert out in self.hist_specs, f"{out!r} is not a histogram agg"
+        return (
+            self.table.read()
+            .select(*self.group_cols, F.posexplode(out).alias("bin", "cnt"))
+            .filter(F.col("cnt") != 0)
+            .withColumn("bin", F.col("bin").cast("long"))
+        )
+
+    def read_quantile_bins(self, out: str, qs: dict[str, tuple[int, int]]) -> DataFrame:
+        """Per-group quantile BIN INDEXES derived from one maintained
+        histogram — ``qs`` maps output name -> (num, den), e.g.
+        ``{"p50": (1, 2), "p99": (99, 100)}``.  The q-quantile bin is the
+        smallest bin whose cumulative count reaches ceil(q * n) — pure
+        int64 arithmetic over the maintained per-bin counts (cum*den >=
+        n*num avoids any division), so results tie bit-for-bit across
+        engines.  A group with no binned values (all nulls) reports NULL
+        quantiles and n_vals = 0.
+
+        Scale shape: O(groups x n_bins) maintained rows through one
+        per-group window — the source is never read; percentile tracking
+        rides the view's O(changed keys) refresh.  The reference has no
+        incremental analog (Solr percentile facets re-scan the rebuilt
+        index)."""
+        for name, (num, den) in qs.items():
+            assert 0 < num <= den, (name, num, den)
+        gcols = self.group_cols
+        rows = self.table.read().select(
+            *gcols, F.posexplode(out).alias("bin", "cnt")
+        )
+        wcum = (
+            Window.partitionBy(*gcols)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy(*gcols)
+        rows = rows.withColumn("_cum", F.sum("cnt").over(wcum)).withColumn(
+            "_n", F.sum("cnt").over(wall)
+        )
+        aggs = [
+            F.min(
+                F.when(
+                    (F.col("_n") > 0) & (F.col("_cum") * den >= F.col("_n") * num),
+                    F.col("bin"),
+                )
+            )
+            .cast("long")
+            .alias(name)
+            for name, (num, den) in qs.items()
+        ]
+        return rows.groupBy(*gcols).agg(
+            F.max("_n").cast("long").alias("n_vals"), *aggs
         )
 
     def read(self, with_internal: bool = False) -> DataFrame:

@@ -450,6 +450,34 @@ def matview_exact_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.join(aux_counts, "lang")
 
 
+def status_stream(spark: SparkSession, sf_dir: str, mod: int | None = None) -> DataFrame:
+    """The with-status derived stream prefixed by a seq-0 DDL event: the
+    engine's table starts at PAGES_SCHEMA_V1 (no fetch_status), so the
+    DDL adds it through the real evolution path (registry.apply_ddl)
+    before any data row folds.  ``mod`` optionally compresses the status
+    domain (fetch_status % mod) for queries that need repeating values."""
+    changes = derived_changes(spark, sf_dir, with_status=True)
+    if mod is not None:
+        changes = changes.withColumn(
+            "after",
+            F.col("after").withField("fetch_status", F.col("after.fetch_status") % mod),
+        )
+    st = changes.schema["before"].dataType
+    ddl_row = spark.range(1).select(
+        F.lit(0).cast("long").alias("seq"),
+        F.lit(0).cast("long").alias("delivery_key"),
+        F.lit("DDL").alias("op"),
+        F.timestamp_seconds(F.lit(BASE_S)).alias("ts_ms"),
+        F.lit("pages").alias("table"),
+        F.lit(2).cast("int").alias("schema_version"),
+        F.lit("ADD COLUMN fetch_status bigint").alias("ddl"),
+        F.lit(None).cast(st).alias("before"),
+        F.lit(None).cast(st).alias("after"),
+        F.lit(0).cast("int").alias("epoch_hint"),
+    )
+    return ddl_row.unionByName(changes)
+
+
 @query(
     "matview_variance_profile",
     f"""
@@ -506,24 +534,7 @@ def matview_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tis_spark.lake.matview import MaterializedView, _nn, _s1
 
     table_dir = tempfile.mkdtemp(prefix="tis-mvvar-")
-    changes = derived_changes(spark, sf_dir, with_status=True)
-    # the engine's table starts at PAGES_SCHEMA_V1 (no fetch_status); a
-    # stream-delivered DDL at seq 0 adds it through the real evolution
-    # path (registry.apply_ddl) before any data row folds
-    st = changes.schema["before"].dataType
-    ddl_row = spark.range(1).select(
-        F.lit(0).cast("long").alias("seq"),
-        F.lit(0).cast("long").alias("delivery_key"),
-        F.lit("DDL").alias("op"),
-        F.timestamp_seconds(F.lit(BASE_S)).alias("ts_ms"),
-        F.lit("pages").alias("table"),
-        F.lit(2).cast("int").alias("schema_version"),
-        F.lit("ADD COLUMN fetch_status bigint").alias("ddl"),
-        F.lit(None).cast(st).alias("before"),
-        F.lit(None).cast(st).alias("after"),
-        F.lit(0).cast("int").alias("epoch_hint"),
-    )
-    changes = ddl_row.unionByName(changes)
+    changes = status_stream(spark, sf_dir)
     max_seq = changes.agg(F.max("seq")).first()[0]
     ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
     half = ep * max(1, max_seq // (2 * ep))
@@ -607,28 +618,9 @@ def matview_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tis_spark.lake.matview import MaterializedView
 
     table_dir = tempfile.mkdtemp(prefix="tis-mvtopk-")
-    changes = derived_changes(spark, sf_dir, with_status=True)
-    st = changes.schema["before"].dataType
-    ddl_row = spark.range(1).select(
-        F.lit(0).cast("long").alias("seq"),
-        F.lit(0).cast("long").alias("delivery_key"),
-        F.lit("DDL").alias("op"),
-        F.timestamp_seconds(F.lit(BASE_S)).alias("ts_ms"),
-        F.lit("pages").alias("table"),
-        F.lit(2).cast("int").alias("schema_version"),
-        F.lit("ADD COLUMN fetch_status bigint").alias("ddl"),
-        F.lit(None).cast(st).alias("before"),
-        F.lit(None).cast(st).alias("after"),
-        F.lit(0).cast("int").alias("epoch_hint"),
-    )
     # compress the status domain (% 13) so per-(lang, value) frequencies
     # exceed 1 and the heavy-hitter ranking is non-trivial
-    changes = ddl_row.unionByName(
-        changes.withColumn(
-            "after",
-            F.col("after").withField("fetch_status", F.col("after.fetch_status") % 13),
-        )
-    )
+    changes = status_stream(spark, sf_dir, mod=13)
     max_seq = changes.agg(F.max("seq")).first()[0]
     ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
     half = ep * max(1, max_seq // (2 * ep))
@@ -647,6 +639,88 @@ def matview_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
     mv.refresh()
     return mv.read_topk_values("fetch_status", 3)
+
+
+@query(
+    "matview_histogram_quantiles",
+    """
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    ),
+    state AS (
+      SELECT url, event_type AS lang, (seq % 997) AS fs
+      FROM win WHERE rn = 1
+    ),
+    bins AS (
+      SELECT lang, (fs * 16) // 997 AS bin, CAST(count(*) AS BIGINT) AS c
+      FROM state GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT lang, bin, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM bins
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_vals,
+           CAST(min(CASE WHEN cum * 2 >= n THEN bin END) AS BIGINT) AS p50_bin,
+           CAST(min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS BIGINT) AS p90_bin,
+           CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS BIGINT) AS p99_bin
+    FROM w GROUP BY lang
+    """,
+)
+def matview_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained distribution sketch, driver-checkable:
+    the half-replay protocol with a per-lang ``histogram(fetch_status)``
+    view (16 exact-int64 bins over [0, 997), lake/matview.py) — every
+    bin is a signed count, so the second half's group-churning updates
+    and deletes maintain the whole distribution with NO recompute path —
+    then ``read_quantile_bins`` derives p50/p90/p99 bin indexes with
+    division-free integer ranking (cum*den >= n*num).  A green hash
+    proves maintained bins == a direct binning of the final folded
+    state, which the DuckDB oracle computes with the identical integer
+    arithmetic.
+
+    Reference contrast: percentile surfacing in TIS means Solr stats
+    facets over a fully rebuilt index (tis-index-builder); here the
+    quantiles ride the view's O(changed keys) refresh.
+    """
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.lake.matview import MaterializedView
+
+    table_dir = tempfile.mkdtemp(prefix="tis-mvhist-")
+    changes = status_stream(spark, sf_dir)
+    max_seq = changes.agg(F.max("seq")).first()[0]
+    ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
+    half = ep * max(1, max_seq // (2 * ep))
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    ingest.replay(changes.filter(F.col("seq") < half), epoch_size=ep)
+    mv = MaterializedView.create(
+        spark,
+        table_dir + "_mv",
+        ingest.table,
+        ["lang"],
+        {"n_pages": ("count", None), "fs_hist": ("histogram", "fetch_status")},
+        hist_specs={"fs_hist": (0, 997, 16)},
+    )
+    mv.full_build()
+    ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
+    mv.refresh()
+    return mv.read_quantile_bins(
+        "fs_hist", {"p50_bin": (1, 2), "p90_bin": (9, 10), "p99_bin": (99, 100)}
+    )
 
 
 # ------------------------------------------------------------------ derived
