@@ -261,7 +261,7 @@ class MaterializedView:
                         f"histogram agg {out!r} needs hist_specs[{out!r}] = "
                         "(lo, hi, n_bins)"
                     )
-                lo, hi, nb = spec
+                lo, hi, nb = spec[:3]  # tolerate an already-extended spec
                 assert hi > lo and int(nb) >= 1, spec
                 # exact integer binning (engine-portable DIV arithmetic)
                 # when the column and both bounds are integral
