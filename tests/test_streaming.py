@@ -263,3 +263,99 @@ def test_streaming_derived_index_stays_current(spark, stream_source, tmp_table_d
         == s.ingest.table.current_snapshot().snapshot_id
     )
     assert idx.sync()["up_to_date"]
+
+
+def test_streaming_attached_distribution_views(spark, tmp_table_dir):
+    """Variance + histogram matviews attached mid-stream: created over
+    the evolved schema after the first half (fetch_status DDLs at seqs
+    240/480), then kept current by the per-batch refresh hook through
+    the second half — whose updates/deletes retract through the signed
+    power sums and bin counts with no recompute path, and whose score
+    ADD/WIDEN DDLs (720/960) must not trip the drift check (score is not
+    aggregated)."""
+    from tis_spark.lake.matview import MaterializedView
+
+    stage = tempfile.mkdtemp(prefix="tis-dist-stage-")
+    src = tempfile.mkdtemp(prefix="tis-dist-src-")
+    try:
+        changes = gen_page_changes(spark, N_EVENTS, seed=23, epoch_size=CHUNK)
+        n = write_stream_chunks(changes, stage, chunk_size=CHUNK)
+        assert n >= 4
+        h = n // 2
+        for i in range(h):
+            shutil.move(
+                os.path.join(stage, f"chunk-{i:06d}.parquet"),
+                os.path.join(src, f"chunk-{i:06d}.parquet"),
+            )
+        cfg = CdcConfig(fold_parallelism=8, delete_policy="delete")
+        s = StreamingCdc(spark, src, tmp_table_dir, cfg)
+        assert s.run_available(max_files_per_trigger=1)
+        s.drain()
+
+        mv = MaterializedView.create(
+            spark,
+            tmp_table_dir + "_mvd",
+            s.ingest.table,
+            ["lang"],
+            {
+                "n_pages": ("count", None),
+                "var_fs": ("var_pop", "fetch_status"),
+                "fs_hist": ("histogram", "fetch_status"),
+            },
+            hist_specs={"fs_hist": (0, 1000, 8)},
+        )
+        mv.full_build()
+        s.views.append(mv)
+        for i in range(h, n):
+            shutil.move(
+                os.path.join(stage, f"chunk-{i:06d}.parquet"),
+                os.path.join(src, f"chunk-{i:06d}.parquet"),
+            )
+        assert s.run_available(max_files_per_trigger=1)
+        s.drain()
+
+        state = s.final_state()
+        got = {r["lang"]: r for r in mv.read().collect()}
+        want = {
+            r["lang"]: r
+            for r in state.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pages"),
+                F.var_pop("fetch_status").alias("var_fs"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["n_pages"] == want[g]["n_pages"], g
+            if want[g]["var_fs"] is None:
+                assert got[g]["var_fs"] is None, g
+            else:
+                assert abs(got[g]["var_fs"] - want[g]["var_fs"]) < 1e-6, g
+        hist = {
+            (r["lang"], r["bin"]): r["cnt"] for r in mv.read_histogram("fs_hist").collect()
+        }
+        want_hist = {
+            (r["lang"], r["bin"]): r["cnt"]
+            for r in state.filter(F.col("fetch_status").isNotNull())
+            .select(
+                "lang",
+                F.least(
+                    F.greatest(
+                        F.expr("(CAST(fetch_status AS BIGINT) * 8) DIV 1000"), F.lit(0)
+                    ),
+                    F.lit(7),
+                )
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy("lang", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+        assert hist == want_hist
+        assert mv._last_source_snapshot() == s.ingest.table.current_snapshot().snapshot_id
+        assert mv.refresh()["up_to_date"]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
