@@ -379,3 +379,42 @@ def test_emb_sign_bucket_index_tracks_vector_churn(spark, tmp_path):
     assert _state(
         probe_sign_buckets(idx.read().select("vec_id", "table_idx", "bucket"), is_new)
     ) == _state(probe_sign_buckets(fresh, is_new))
+
+
+def test_index_gc_keeps_watermark_and_source_gc_fails_loudly(spark, tmp_path):
+    """Consumer-side GC is watermark-safe (sync commits bundle epoch_id
+    with the watermark, which expire_snapshots always retains), compact()
+    folds sync deltas without disturbing the chain — and the complementary
+    hazard is pinned: when the SOURCE expires the snapshot the index's
+    watermark points at, the next sync raises FileNotFoundError instead of
+    silently corrupting, and a re-bootstrap recovers."""
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [(1, "the quick fox", 1), (2, "lazy dog", 2)])
+    idx = DerivedIndex.create(
+        spark, str(tmp_path / "idx"), src, "token_postings", ["doc_id", "tok"]
+    )
+    idx.bootstrap()
+    # several sync epochs -> several index snapshots + delta files
+    for e in range(1, 5):
+        _apply(spark, src, e, [(10 + e, f"doc number {e} fox", e)], deletes=[10 + e - 1] if e > 1 else ())
+        idx.sync()
+    rep = idx.expire_snapshots(keep_last=1)
+    assert rep["expired_snapshots"] > 0
+    idx.compact()
+    assert _state(idx.read()) == _expect(src, "token_postings")
+    # chain continues on the GC'd + compacted index
+    _apply(spark, src, 5, [(1, "quick brown fox", 50)])
+    assert not idx.sync()["up_to_date"]
+    assert _state(idx.read()) == _expect(src, "token_postings")
+
+    # fall-behind: source GC drops the watermark snapshot -> loud failure
+    _apply(spark, src, 6, [(99, "straggler row", 99)])
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        idx.sync()
+    # recovery: rebuild the index off the current source snapshot
+    idx2 = DerivedIndex.create(
+        spark, str(tmp_path / "idx2"), src, "token_postings", ["doc_id", "tok"]
+    )
+    idx2.bootstrap()
+    assert _state(idx2.read()) == _expect(src, "token_postings")

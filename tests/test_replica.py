@@ -281,3 +281,34 @@ def test_matview_over_replica_of_layout_source(spark, tmp_path):
         .collect()
     }
     assert got == want == {"d0": (3, 2, 60)}
+
+
+def test_replica_gc_keeps_watermark_and_source_gc_fails_loudly(spark, tmp_path):
+    """Replica-side GC + compaction never disturb the sync chain (the
+    watermark rides the retained epoch_id carrier); a source that expires
+    the replica's watermark snapshot makes the next sync fail loudly
+    (FileNotFoundError) — never a silent partial apply."""
+    from tis_spark.lake.replica import TableReplica
+
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(spark, src, 0, [("u1", "a.com", 1), ("u2", "b.com", 2)])
+    rep = TableReplica.create(spark, str(tmp_path / "rep"), src)
+    rep.bootstrap()
+    for e in range(1, 5):
+        _apply(spark, src, e, [(f"u{e + 2}", "c.com", e * 10)], deletes=["u1"] if e == 2 else ())
+        rep.sync()
+    gc = rep.expire_snapshots(keep_last=1)
+    assert gc["expired_snapshots"] > 0
+    rep.compact()
+    assert _state(rep) == _state(src)
+    _apply(spark, src, 5, [("u2", "b.com", 99)])
+    assert not rep.sync()["up_to_date"]
+    assert _state(rep) == _state(src)
+
+    _apply(spark, src, 6, [("u9", "z.com", 7)])
+    src.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        rep.sync()
+    rep2 = TableReplica.create(spark, str(tmp_path / "rep2"), src)
+    rep2.bootstrap()
+    assert _state(rep2) == _state(src)

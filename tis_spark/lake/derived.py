@@ -300,6 +300,32 @@ class DerivedIndex:
             "up_to_date": False,
         }
 
+    # ----------------------------------------------------------- maintenance
+
+    def compact(self, max_records_per_file: int = 0) -> None:
+        """Fold accumulated sync deltas into a fresh sorted base (a
+        long-running stream appends one delta file set per sync and read
+        cost degrades with delta count).  Compaction commits carry no
+        watermark, so the sync chain is unaffected."""
+        snap = self.table.current_snapshot()
+        self.table.compact(
+            list(range(snap.num_buckets)),
+            max_records_per_file=max_records_per_file,
+            expected_snapshot_id=snap.snapshot_id,
+        )
+
+    def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
+        """Lake GC over the index table (one snapshot accrues per sync).
+        Watermark-safe: sync commits bundle ``epoch_id`` with
+        ``derived_source_snapshot`` and the newest ``epoch_id`` carrier is
+        always retained by ``LakeTable.expire_snapshots``.  NOTE the
+        complementary hazard is on the SOURCE: if the source expires the
+        snapshot this index's watermark points at, the next ``sync()``
+        raises ``FileNotFoundError`` (the changelog window is gone) and
+        the index must re-``bootstrap`` — pick the source's ``keep_last``
+        with its slowest consumer in mind."""
+        return self.table.expire_snapshots(keep_last, dry_run=dry_run)
+
     # ------------------------------------------------------------------ read
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:

@@ -249,6 +249,30 @@ class TableReplica:
             "up_to_date": False,
         }
 
+    # ----------------------------------------------------------- maintenance
+
+    def compact(self, max_records_per_file: int = 0) -> None:
+        """Fold accumulated sync deltas into a fresh sorted base.
+        Compaction commits carry no watermark, so the sync chain is
+        unaffected."""
+        snap = self.table.current_snapshot()
+        self.table.compact(
+            list(range(snap.num_buckets)),
+            max_records_per_file=max_records_per_file,
+            expected_snapshot_id=snap.snapshot_id,
+        )
+
+    def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
+        """Lake GC over the replica (one snapshot accrues per sync).
+        Watermark-safe: sync commits bundle ``epoch_id`` with
+        ``replica_source_snapshot`` and the newest ``epoch_id`` carrier
+        is always retained.  The complementary hazard is on the SOURCE:
+        expiring the snapshot a replica's watermark points at makes the
+        next ``sync()`` raise ``FileNotFoundError`` (changelog window
+        gone, re-``bootstrap`` required) — pick the source's
+        ``keep_last`` with its slowest consumer in mind."""
+        return self.table.expire_snapshots(keep_last, dry_run=dry_run)
+
     # ------------------------------------------------------------------ read
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:

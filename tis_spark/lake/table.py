@@ -613,7 +613,8 @@ class LakeTable:
         emits a delete notice (the key was already absent at the old
         snapshot) — a no-op for the idempotent MERGE/DELETE consumers the
         mode is for; ``classify=True`` filters them exactly.  Raises
-        ``KeyError`` if ``since_snapshot_id`` has been expired."""
+        ``FileNotFoundError`` if ``since_snapshot_id`` has been expired
+        (its log entry is gone — same semantics as time travel)."""
         if with_preimage and not classify:
             raise ValueError("with_preimage requires classify=True")
         new_snap = (
