@@ -90,6 +90,14 @@ AGGS = {
 }
 if AGG_MODE == "all":
     AGGS.update({"min_val": ("min", "val"), "max_val": ("max", "val")})
+elif AGG_MODE == "dist":
+    # the r5 distribution tier: power-sum variance + fixed-bin histogram —
+    # both pure signed sums, so a retracting refresh needs NO recompute
+    # read at all (the O(K) bound that "all" only reaches via
+    # exact-extrema auxiliaries comes for free here)
+    AGGS.update({"var_val": ("var_pop", "val"), "val_hist": ("histogram", "val")})
+#: val = xxhash64 % 1000 ranges over (-1000, 1000)
+HIST_SPECS = {"val_hist": (-1000, 1000, 32)} if AGG_MODE == "dist" else None
 
 
 def build_source(spark, path, n):
@@ -193,7 +201,9 @@ def _bytes_read(spark) -> int:
 
 def full_recompute_wall(spark, src, out_dir):
     t0 = time.monotonic()
-    mv2 = MaterializedView.create(spark, out_dir, src, ["g"], AGGS)
+    mv2 = MaterializedView.create(
+        spark, out_dir, src, ["g"], AGGS, hist_specs=dict(HIST_SPECS) if HIST_SPECS else None
+    )
     mv2.full_build()
     mv2.read().foreach(lambda r: None)  # materialize the read too
     return time.monotonic() - t0
@@ -211,7 +221,13 @@ def main():
         root = tempfile.mkdtemp(prefix=f"tis-mvb-{n}-")
         src = build_source(spark, os.path.join(root, "src"), n)
         mv = MaterializedView.create(
-            spark, os.path.join(root, "mv"), src, ["g"], AGGS, exact_extrema=EXACT
+            spark,
+            os.path.join(root, "mv"),
+            src,
+            ["g"],
+            AGGS,
+            exact_extrema=EXACT,
+            hist_specs=dict(HIST_SPECS) if HIST_SPECS else None,
         )
         mv.full_build()
         apply_delta(spark, src, n, K)
@@ -225,19 +241,52 @@ def main():
         b2 = _bytes_read(spark)
 
         # correctness: view == recompute (cheap at GROUPS cardinality)
-        got = {tuple(r) for r in mv.read().collect()}
-        want = {
-            tuple(r)
-            for r in src.read()
-            .groupBy("g")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("val").alias("sum_val"),
-                *([F.min("val").alias("min_val"), F.max("val").alias("max_val")]
-                  if AGG_MODE == "all" else []),
-            )
-            .collect()
-        }
+        if AGG_MODE == "dist":
+            # exact int64 comparison through the internal power sums +
+            # bin arrays (the derived var double is a pure function of
+            # them); the hist recompute reuses the view's own agg expr
+            from tis_spark.lake.matview import _nn, _s1
+
+            sel = ["g", "n_rows", "sum_val", "var_val", _s1("var_val"), _nn("var_val")]
+            got = {
+                tuple(r)
+                for r in mv.read(with_internal=True)
+                .select(*sel, F.col("val_hist").cast("string"))
+                .collect()
+            }
+            v = F.col("val").cast("long")
+            want = {
+                tuple(r)
+                for r in src.read()
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(v).alias("sum_val"),
+                    F.sum(v * v).alias("s2"),
+                    F.sum(v).alias("s1"),
+                    F.count("val").cast("long").alias("nn"),
+                    mv._hist_array("val", "val_hist", F.lit(1)),
+                )
+                .select(
+                    "g", "n_rows", "sum_val", "s2", "s1", "nn",
+                    F.col("val_hist").cast("string"),
+                )
+                .collect()
+            }
+        else:
+            got = {tuple(r) for r in mv.read().collect()}
+            want = {
+                tuple(r)
+                for r in src.read()
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("val").alias("sum_val"),
+                    *([F.min("val").alias("min_val"), F.max("val").alias("max_val")]
+                      if AGG_MODE == "all" else []),
+                )
+                .collect()
+            }
         assert got == want, f"view diverged at n={n}"
         rows.append(
             {

@@ -1135,3 +1135,48 @@ def test_matview_histogram_and_quantiles_track_recompute(spark, tmp_path, monkey
         MaterializedView.create(
             spark, str(tmp_path / "mv2"), src, ["grp"], {"h": ("histogram", "val")}
         )
+
+
+def test_matview_read_topk_values_group_restricted_is_file_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """The serving path — top-k values for SPECIFIC groups — point-looks
+    up the group-clustered multiset (bucket + zone pruning), matching the
+    unrestricted ranking on those groups while opening only the files
+    whose group range intersects the wanted set."""
+    import tis_spark.lake.matview as mvmod
+
+    monkeypatch.setattr(mvmod, "AUX_FILE_ROWS", 16)
+    src = _mk_source(spark, str(tmp_path / "src"))
+    _apply(
+        spark,
+        src,
+        0,
+        # value 0 is every group's heavy hitter; the rest spread thin so
+        # the multiset holds ~500 distinct (grp, val) rows (multi-file
+        # bases at AUX_FILE_ROWS=16) with non-uniform frequencies
+        [
+            (f"k{i}", f"g{i % 16:02d}", 0 if i % 5 == 0 else (i // 16) % 40)
+            for i in range(640)
+        ],
+    )
+    mv = MaterializedView.create(
+        spark,
+        str(tmp_path / "mv"),
+        src,
+        ["grp"],
+        {"n": ("count", None), "mx": ("max", "val")},
+        exact_extrema=True,
+    )
+    mv.full_build()
+    aux = mv.aux["val"]
+    snap = aux.current_snapshot()
+    all_files = [e["path"] for ents in snap.files.values() for e in ents]
+    assert len(all_files) > snap.num_buckets
+
+    restricted = mv.read_topk_values("val", 3, groups=["g03", "g07"])
+    opened = restricted.inputFiles()
+    assert 0 < len(opened) < len(all_files), (len(opened), len(all_files))
+    full = mv.read_topk_values("val", 3).filter(F.col("grp").isin("g03", "g07"))
+    assert sorted(map(tuple, restricted.collect())) == sorted(map(tuple, full.collect()))
+    assert mv.read_topk_values("val", 3, groups=[]).count() == 0

@@ -1145,7 +1145,7 @@ class MaterializedView:
 
     # ----------------------------------------------------------------- read
 
-    def read_topk_values(self, col: str, k: int) -> DataFrame:
+    def read_topk_values(self, col: str, k: int, groups: list | None = None) -> DataFrame:
         """Per-group top-``k`` most frequent live values of ``col`` —
         EXACT heavy hitters, derived entirely from the exact-extrema
         multiset auxiliary (requires ``exact_extrema=True`` at
@@ -1156,17 +1156,38 @@ class MaterializedView:
         Scale shape: the multiset is the maintained state — one row per
         live (group, value), count-delta-maintained from the changelog —
         so this read shuffles O(distinct (group, value)) multiplicity
-        rows into a per-group window and never touches the source.  The
-        reference exposes value frequencies only via Solr faceting over
-        a fully rebuilt index (tis-index-builder); here they ride the
-        same O(changed keys) refresh as the view."""
+        rows into a per-group window and never touches the source.
+        ``groups`` restricts to specific leading-group values through the
+        aux's bucket + zone-map point-lookup path (the multiset is
+        CLUSTERED by the leading group column), so the serving question
+        "top values for THIS domain" opens O(wanted groups) files, not
+        the whole state.  The reference exposes value frequencies only
+        via Solr faceting over a fully rebuilt index (tis-index-builder);
+        here they ride the same O(changed keys) refresh as the view."""
         if col not in self.aux:
             raise ValueError(
                 f"no multiset auxiliary for {col!r} — create the view with "
                 f"exact_extrema=True and a min/max/approx_distinct agg over "
                 f"it (have: {sorted(self.aux)})"
             )
-        live = self.aux[col].read().filter(F.col(AUX_N_COL) > 0)
+        aux = self.aux[col]
+        if groups is not None:
+            g0 = self.group_cols[0]
+            nn = [g for g in groups if g is not None]
+            rows = (
+                aux.read_layout_point_lookup(aux.current_snapshot(), g0, nn)
+                if nn
+                else aux.read().limit(0)
+            )
+            cond = F.col(g0).isin(nn) if nn else F.lit(False)
+            if len(nn) < len(groups):  # caller asked for the null group too
+                cond = cond | F.col(g0).isNull()
+                rows = aux.read() if not nn else rows.unionByName(
+                    aux.read().filter(F.col(g0).isNull())
+                )
+            live = rows.filter(cond).filter(F.col(AUX_N_COL) > 0)
+        else:
+            live = aux.read().filter(F.col(AUX_N_COL) > 0)
         w = Window.partitionBy(*self.group_cols).orderBy(
             F.desc(AUX_N_COL), F.asc(col)
         )
