@@ -234,34 +234,100 @@ def test_matview_over_cdc_engine_with_mid_window_ddl(spark, tmp_path):
 
 
 def test_matview_long_run_with_compaction(spark, tmp_path):
-    """30 refresh epochs with compact_every=10: state equals recompute at
-    every step, the view's file count stays bounded (compaction folds the
-    per-refresh deltas), and the compaction inside later refresh windows
-    does not disturb the watermark chain."""
+    """30 refresh epochs with compact_every=10, TWO attached views fed by
+    one shared changelog window (refresh_views): the classic
+    count/sum/min/max view and a distribution view (avg + var_pop +
+    histogram).  State equals recompute at every checkpoint, the views'
+    file counts stay bounded (compaction folds the per-refresh deltas),
+    and compactions inside later refresh windows do not disturb either
+    watermark chain."""
+    from tis_spark.lake.matview import refresh_views
+
     src = _mk_source(spark, str(tmp_path / "src"))
     _apply(spark, src, 0, [(f"k{i}", "g" + str(i % 5), i) for i in range(40)])
     mv = MaterializedView.create(spark, str(tmp_path / "mv"), src, ["grp"], AGGS)
     mv.full_build()
+    mvd = MaterializedView.create(
+        spark,
+        str(tmp_path / "mvd"),
+        src,
+        ["grp"],
+        {
+            "n_rows": ("count", None),
+            "avg_val": ("avg", "val"),
+            "var_val": ("var_pop", "val"),
+            "val_hist": ("histogram", "val"),
+        },
+        hist_specs={"val_hist": (0, 3200, 16)},
+    )
+    mvd.full_build()
 
-    def file_count():
-        snap = mv.table.current_snapshot()
-        return sum(len(v) for v in snap.files.values())
+    def _assert_dist_equals_recompute():
+        got = {r["grp"]: r for r in mvd.read().collect()}
+        hist = {
+            (r["grp"], r["bin"]): r["cnt"] for r in mvd.read_histogram("val_hist").collect()
+        }
+        rows = src.read()
+        want = {
+            r["grp"]: r
+            for r in rows.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.avg("val").alias("avg_val"),
+                F.var_pop("val").alias("var_val"),
+            )
+            .collect()
+        }
+        want_hist = {
+            (r["grp"], r["bin"]): r["cnt"]
+            for r in rows.filter(F.col("val").isNotNull())
+            .select(
+                "grp",
+                F.least(
+                    F.greatest(F.expr("(CAST(val AS BIGINT) * 16) DIV 3200"), F.lit(0)),
+                    F.lit(15),
+                )
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["n_rows"] == want[g]["n_rows"], g
+            for c in ("avg_val", "var_val"):
+                if want[g][c] is None:
+                    assert got[g][c] is None, (g, c)
+                else:
+                    assert got[g][c] == pytest.approx(want[g][c], abs=1e-9), (g, c)
+        assert hist == want_hist
 
-    counts = []
+    def file_count(v):
+        snap = v.table.current_snapshot()
+        return sum(len(x) for x in snap.files.values())
+
+    counts, counts_d = [], []
     for e in range(1, 31):
         ups = [(f"k{(e * 7 + j) % 40}", "g" + str((e + j) % 5), e * 100 + j) for j in range(4)]
         dels = [f"k{(e * 11) % 40}"] if e % 3 == 0 else []
         ups = [u for u in ups if u[0] not in dels]
         _apply(spark, src, e, ups, deletes=dels)
-        mv.refresh(compact_every=10)
-        counts.append(file_count())
+        refresh_views([mv, mvd], compact_every=10)
+        counts.append(file_count(mv))
+        counts_d.append(file_count(mvd))
         if e % 10 == 0:
             _assert_view_equals_recompute(mv, src)
+            _assert_dist_equals_recompute()
     _assert_view_equals_recompute(mv, src)
+    _assert_dist_equals_recompute()
     # compaction keeps growth bounded: after each compact the count drops
     # back to ~one base generation
     assert min(counts[10:]) < max(counts[:10]), counts
     assert counts[-1] < 3 * counts[9], counts
+    assert min(counts_d[10:]) < max(counts_d[:10]), counts_d
+    assert counts_d[-1] < 3 * counts_d[9], counts_d
 
 
 def test_matview_avg_agg_tracks_recompute(spark, tmp_path):
