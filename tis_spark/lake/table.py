@@ -50,6 +50,7 @@ from dataclasses import dataclass
 from functools import reduce
 from urllib.parse import unquote, urlparse
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1055,6 +1056,74 @@ class LakeTable:
         return snap
 
     # ------------------------------------------------------------- compaction
+
+    def delete_where(
+        self,
+        predicate,
+        summary: dict | None = None,
+        expected_snapshot_id: int | None = None,
+    ) -> dict:
+        """Bulk retention purge: ONE fenced tombstone commit for every
+        live row matching ``predicate`` (a Column over the logical
+        schema) — the GDPR/domain-erasure/TTL path (delete all pages of
+        a domain, or everything older than a cutoff).  No rewrite of
+        surviving data: tombstones append as an ordinary delta epoch,
+        reconciled by merge-on-read and folded away by the next
+        compaction, and the snapshot-diff changelog classifies them as
+        plain deletes — every downstream consumer (replica, derived
+        index, materialized views incl. exact-extrema auxiliaries) then
+        retracts the purged rows through its normal O(changed keys)
+        sync/refresh, with no purge-specific code anywhere downstream.
+
+        Tombstones keep their row's key AND current layout value, so on
+        a layout-clustered table each lands in the bucket holding the
+        row's live copy (relocated rows shadow correctly).  At 10^10-row
+        scale the cost is one column-pruned predicate scan plus
+        O(matched rows) tombstone writes — the reference's only
+        equivalent is a full index rebuild without the rows
+        (tis-index-builder).
+
+        Returns {"deleted_rows", "epoch"}; a no-match purge commits
+        nothing and returns epoch None.  Fenced like every publish:
+        raises :class:`CommitConflict` if another writer advanced the
+        table after ``expected_snapshot_id`` (defaults to the snapshot
+        the predicate was evaluated against)."""
+        snap = self.current_snapshot()
+        if expected_snapshot_id is None:
+            expected_snapshot_id = snap.snapshot_id
+        layout = self.layout_key(snap)
+        keep = set(snap.key_cols) | {layout}
+        victims = (
+            self.read(snapshot_id=snap.snapshot_id)
+            .filter(predicate)
+            .select(
+                *[
+                    F.col(f.name)
+                    if f.name in keep
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in snap.schema.fields
+                ]
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            n = victims.count()
+            if n == 0:
+                return {"deleted_rows": 0, "epoch": None}
+            epoch = (self.last_epoch_id() or 0) + 1
+            stamped = (
+                victims.withColumn(DEAD_COL, F.lit(True))
+                .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+                .withColumn("_bucket", self.bucket_expr())
+            )
+            self.commit(
+                self.write_data_files(stamped, kind="delta"),
+                summary={"epoch_id": epoch, "purge_rows": n, **(summary or {})},
+                expected_snapshot_id=expected_snapshot_id,
+            )
+            return {"deleted_rows": n, "epoch": epoch}
+        finally:
+            victims.unpersist()
 
     def compact(
         self,

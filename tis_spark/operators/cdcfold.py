@@ -269,6 +269,71 @@ def replica_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_purge_cascade",
+    f"""
+    WITH ch AS (
+      SELECT event_id + 1 AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             'u' || CAST(user_id AS VARCHAR) AS url,
+             event_type
+      FROM events
+    ),
+    win AS (
+      SELECT url, seq, event_type,
+             row_number() OVER (PARTITION BY url ORDER BY seq DESC) AS rn
+      FROM ch WHERE op <> 'D'
+    )
+    SELECT url,
+           ({BASE_S} + seq) * 1000000 AS warc_ts_us,
+           event_type AS lang
+    FROM win WHERE rn = 1 AND event_type <> 'signup'
+    """,
+)
+def retention_purge_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk retention purge cascading through the changelog, driver-
+    checkable: replay the first half of the derived stream through the
+    real engine, bootstrap a replica, replay the second half and sync —
+    then ``LakeTable.delete_where(lang == 'signup')`` tombstones every
+    matching page in ONE fenced commit (the GDPR/domain-erasure path,
+    lake/table.py), and a final ordinary ``sync()`` carries the purge to
+    the replica as plain changelog deletes: no purge-specific code
+    anywhere downstream, O(purged keys) work end-to-end.  A green hash
+    proves the replica equals the sequential LWW fold minus the purged
+    rows — which the DuckDB oracle computes directly.
+
+    Reference contrast: removing a slice of the corpus in TIS means a
+    full rebuild without those rows (tis-index-builder) plus a whole-
+    artifact backflow copy; here it is one tombstone epoch plus each
+    consumer's incremental catch-up.
+    """
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.lake.replica import TableReplica
+
+    table_dir = tempfile.mkdtemp(prefix="tis-purgeq-")
+    changes = derived_changes(spark, sf_dir)
+    max_seq = changes.agg(F.max("seq")).first()[0]
+    ep = 500 if max_seq < 5000 else 2500 * max(1, max_seq // 20000)
+    half = ep * max(1, max_seq // (2 * ep))
+    cfg = CdcConfig(disorder_window=64, fold_parallelism=32, num_buckets=16)
+    ingest = CdcIngest(spark, table_dir, cfg)
+    ingest.replay(changes.filter(F.col("seq") < half), epoch_size=ep)
+    rep = TableReplica.create(spark, table_dir + "_rep", ingest.table)
+    rep.bootstrap()
+    ingest.replay(changes.filter(F.col("seq") >= half), epoch_size=ep)
+    rep.sync()
+    out = ingest.table.delete_where(F.col("lang") == "signup")
+    assert out["deleted_rows"] > 0, out
+    rep.sync()
+    return rep.read().select(
+        "url",
+        F.unix_micros("warc_ts").alias("warc_ts_us"),
+        "lang",
+    )
+
+
+@query(
     "matview_approx_distinct",
     f"""
     WITH ch AS (
