@@ -109,7 +109,7 @@ def test_purge_cascades_to_all_consumers(spark, tmp_path):
     before = src.current_snapshot().snapshot_id
     assert src.delete_where(F.col("domain") == "absent.org") == {
         "deleted_rows": 0,
-        "epoch": None,
+        "commit": None,
     }
     assert src.current_snapshot().snapshot_id == before
 
@@ -128,9 +128,12 @@ def test_purge_is_fenced_and_audited(spark, tmp_path):
         src.delete_where(F.col("domain") == "x.com", expected_snapshot_id=stale)
     out = src.delete_where(F.col("domain") == "x.com")
     assert out["deleted_rows"] == 2
-    # audit trail: the purge commit records its row count + caller summary
+    # audit trail: the purge commit records its row count + commit stamp,
+    # but NO epoch_id — the stream fence must not move (see below)
     top = src.history()[-1].summary
-    assert top["purge_rows"] == 2 and top["epoch_id"] == out["epoch"]
+    assert top["purge_rows"] == 2 and top["purge_commit"] == out["commit"]
+    assert "epoch_id" not in top
+    assert src.last_epoch_id() == 1  # fence still at the last stream epoch
 
 
 def test_purge_on_layout_table_tombstones_land_in_current_bucket(spark, tmp_path):
@@ -157,3 +160,77 @@ def test_purge_on_layout_table_tombstones_land_in_current_bucket(spark, tmp_path
     lake.compact(list(range(lake.current_snapshot().num_buckets)))
     assert lake.read().filter(F.col("id") == "r003").count() == 0
     assert lake.read().filter(F.col("fk") == "p5").count() == 0
+
+
+def test_purge_mid_stream_does_not_break_the_ingest_fence(spark, tmp_path):
+    """The trap this design avoids: stream epoch ids are seq-derived, so
+    a purge that consumed `last_epoch_id + 1` would make the exactly-once
+    fence silently DROP the next stream epoch.  Purge commits therefore
+    carry no epoch_id: replaying the second half after a mid-stream purge
+    must fold every remaining epoch — non-purged keys finish byte-equal
+    to an unpurged control replay, purged keys stay gone unless the
+    second half re-writes them (alive-over-dead at the shared commit
+    stamp resolves the collision in the stream's favor)."""
+    from tis_spark.cdc import CdcConfig, CdcIngest
+    from tis_spark.fixtures.gen import gen_page_changes
+
+    changes = gen_page_changes(spark, 2000, seed=31, epoch_size=500).cache()
+    cfg = CdcConfig(fold_parallelism=8)
+
+    def window(i):
+        return changes.filter((F.col("seq") > i * 500) & (F.col("seq") <= (i + 1) * 500))
+
+    # explicit (lo, hi] seq windows on BOTH tables so the split and the
+    # control fold identical event sets per epoch (CLAUDE.md split-replay
+    # trap: a delivery split re-times disorder stragglers)
+    ing = CdcIngest(spark, str(tmp_path / "pages"), cfg)
+    for i in range(2):
+        ing.process_epoch(window(i), i, final_flush=True)
+    victim = (
+        ing.final_state().groupBy("lang").count().orderBy(F.desc("count")).first()["lang"]
+    )
+    purged_keys = {
+        r["url"] for r in ing.final_state().filter(F.col("lang") == victim).collect()
+    }
+    out = ing.table.delete_where(F.col("lang") == victim)
+    assert out["deleted_rows"] == len(purged_keys) > 0
+    # the running writer's C8 view-fence rejects resuming over the purge
+    # (it IS a concurrent commit from the engine's perspective) — the
+    # operational pattern is quiesce -> purge -> resume with a fresh writer
+    from tis_spark.lake.table import CommitConflict
+
+    with pytest.raises(CommitConflict):
+        ing.process_epoch(window(2), 2, final_flush=True)
+    ing = CdcIngest(spark, str(tmp_path / "pages"), cfg)
+    for i in range(2, 4):
+        ing.process_epoch(window(i), i, final_flush=True)
+
+    ctl = CdcIngest(spark, str(tmp_path / "ctl"), cfg)
+    for i in range(4):
+        ctl.process_epoch(window(i), i, final_flush=True)
+
+    final = {r["url"]: r for r in ing.final_state().collect()}
+    control = {r["url"]: r for r in ctl.final_state().collect()}
+    rewritten = {
+        r["url"]
+        for r in ctl.final_state()
+        .join(
+            changes.filter(F.col("seq") > 1000)
+            .select(F.col("after.url").alias("url"))
+            .filter(F.col("url").isNotNull())
+            .distinct(),
+            "url",
+            "left_semi",
+        )
+        .collect()
+    }
+    # every non-purged key folded the second half exactly like the control
+    for url, row in control.items():
+        if url in purged_keys and url not in rewritten:
+            assert url not in final, url  # purged, never rewritten -> gone
+        elif url not in purged_keys:
+            assert url in final and tuple(final[url]) == tuple(row), url
+    # purged keys the second half re-wrote survive the commit collision
+    for url in purged_keys & rewritten & set(final):
+        assert final[url][ctl.final_state().columns.index("url")] == url
+    assert purged_keys & rewritten & set(final), "fixture must exercise rebirth"

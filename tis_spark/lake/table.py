@@ -1083,8 +1083,19 @@ class LakeTable:
         equivalent is a full index rebuild without the rows
         (tis-index-builder).
 
-        Returns {"deleted_rows", "epoch"}; a no-match purge commits
-        nothing and returns epoch None.  Fenced like every publish:
+        The purge does NOT consume a stream epoch id: its commit carries
+        ``purge_rows``/``purge_commit`` but no ``epoch_id`` summary, so
+        the ingest fence (``last_epoch_id``) is untouched and a stream
+        whose (seq-derived) epoch numbering continues past the purge is
+        never skipped.  Tombstones stamp ``_commit = last_epoch + 1`` —
+        strictly above every committed epoch, so they shadow all prior
+        writes; if the NEXT stream epoch reuses that commit value, the
+        alive-over-dead tie-break resolves exactly right: rows that
+        epoch re-writes survive (they are newer than the purge), rows it
+        doesn't touch stay purged.
+
+        Returns {"deleted_rows", "commit"}; a no-match purge commits
+        nothing and returns commit None.  Fenced like every publish:
         raises :class:`CommitConflict` if another writer advanced the
         table after ``expected_snapshot_id`` (defaults to the snapshot
         the predicate was evaluated against)."""
@@ -1109,19 +1120,19 @@ class LakeTable:
         try:
             n = victims.count()
             if n == 0:
-                return {"deleted_rows": 0, "epoch": None}
-            epoch = (self.last_epoch_id() or 0) + 1
+                return {"deleted_rows": 0, "commit": None}
+            commit = (self.last_epoch_id() or 0) + 1
             stamped = (
                 victims.withColumn(DEAD_COL, F.lit(True))
-                .withColumn(COMMIT_COL, F.lit(epoch).cast("long"))
+                .withColumn(COMMIT_COL, F.lit(commit).cast("long"))
                 .withColumn("_bucket", self.bucket_expr())
             )
             self.commit(
                 self.write_data_files(stamped, kind="delta"),
-                summary={"epoch_id": epoch, "purge_rows": n, **(summary or {})},
+                summary={"purge_rows": n, "purge_commit": commit, **(summary or {})},
                 expected_snapshot_id=expected_snapshot_id,
             )
-            return {"deleted_rows": n, "epoch": epoch}
+            return {"deleted_rows": n, "commit": commit}
         finally:
             victims.unpersist()
 
