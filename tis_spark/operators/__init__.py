@@ -59,6 +59,16 @@ _PRIORITY = [
     "replica_incremental_sync",
     "matview_approx_distinct",
     "derived_index_sync",
+    # final-session flagship surface: the retention purge cascading
+    # through the changelog to a replica, and the delta-maintained
+    # histogram with derived quantiles — promoted per the same rule
+    # (the round's flagship must carry driver rows); rotated out:
+    # dedup_embedding_cosine (the dedup/ANN family keeps six driver rows
+    # incl. both incremental probes) and text_lang_id (the text family
+    # keeps quality_score, repetition, gopher, pii_scrub and deciles);
+    # both rotated names stay pytest-oracle-pinned every suite run
+    "retention_purge_cascade",
+    "matview_histogram_quantiles",
     # temporal joins
     "asof_join_prior_view",
     "range_join_pair_counts",
@@ -87,10 +97,8 @@ _PRIORITY = [
     # both rotated names stay pytest-oracle-pinned every suite run)
     "neardup_probe_incremental",
     "ann_probe_incremental",
-    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality_score",
-    "text_lang_id",
     "text_repetition_ratio",
     "gopher_quality_filter",
     "length_decile_stats",
