@@ -1246,3 +1246,20 @@ def test_matview_read_topk_values_group_restricted_is_file_pruned(
     full = mv.read_topk_values("val", 3).filter(F.col("grp").isin("g03", "g07"))
     assert sorted(map(tuple, restricted.collect())) == sorted(map(tuple, full.collect()))
     assert mv.read_topk_values("val", 3, groups=[]).count() == 0
+    # null group in the wanted set: degrade to the filtered scan (a
+    # point-lookup superset could carry null rows twice) — no duplicate
+    # ranks, and results equal the unrestricted ranking on those groups
+    _apply(spark, src, 1, [("z1", None, 0), ("z2", None, 0), ("z3", None, 7)])
+    mv.refresh()
+    withnull = mv.read_topk_values("val", 3, groups=["g03", None]).collect()
+    ranks = {}
+    for r in withnull:
+        ranks.setdefault(r["grp"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values()), ranks
+    fullnull = mv.read_topk_values("val", 3).filter(
+        F.col("grp").eqNullSafe("g03") | F.col("grp").isNull()
+    )
+    key = lambda t: (t[0] is None, t[0] or "", t[1:])  # noqa: E731
+    assert sorted(map(tuple, withnull), key=key) == sorted(
+        map(tuple, fullnull.collect()), key=key
+    )

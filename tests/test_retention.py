@@ -113,10 +113,13 @@ def test_purge_cascades_to_all_consumers(spark, tmp_path):
     }
     assert src.current_snapshot().snapshot_id == before
 
-    # compaction folds the purge tombstones away; consumers stay settled
+    # compaction folds the purge tombstones away; the consumer absorbs
+    # the metadata-only advance and stays settled
     src.compact(list(range(src.current_snapshot().num_buckets)))
-    assert rep.sync()["up_to_date"] is False or True  # metadata advance ok
+    out = rep.sync()
+    assert out["up_to_date"] is False  # watermark advances over the compaction
     assert _state(rep.read()) == _state(src.read())
+    assert rep.sync()["up_to_date"] is True
 
 
 def test_purge_is_fenced_and_audited(spark, tmp_path):

@@ -307,12 +307,7 @@ class DerivedIndex:
         long-running stream appends one delta file set per sync and read
         cost degrades with delta count).  Compaction commits carry no
         watermark, so the sync chain is unaffected."""
-        snap = self.table.current_snapshot()
-        self.table.compact(
-            list(range(snap.num_buckets)),
-            max_records_per_file=max_records_per_file,
-            expected_snapshot_id=snap.snapshot_id,
-        )
+        self.table.compact_all(max_records_per_file)
 
     def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
         """Lake GC over the index table (one snapshot accrues per sync).

@@ -220,6 +220,7 @@ class MaterializedView:
         refresh and O(distinct (group, value)) aux storage."""
         src_schema = source.current_snapshot().schema
         src_fields = {f.name: f for f in src_schema.fields}
+        hist_specs = dict(hist_specs or {})  # never mutate the caller's dict
         for c in group_cols:
             assert c in src_fields, f"group col {c!r} not in source schema"
         fields = [T.StructField(c, src_fields[c].dataType) for c in group_cols]
@@ -255,7 +256,7 @@ class MaterializedView:
                 fields.append(T.StructField(_s1(out), ot))  # sum
                 fields.append(T.StructField(_nn(out), T.LongType()))
             elif fn == "histogram":
-                spec = (hist_specs or {}).get(out)
+                spec = hist_specs.get(out)
                 if spec is None:
                     raise ValueError(
                         f"histogram agg {out!r} needs hist_specs[{out!r}] = "
@@ -326,7 +327,7 @@ class MaterializedView:
                     "aux_cols": aux_cols,
                     "hist_specs": {
                         out: list(spec)
-                        for out, spec in (hist_specs or {}).items()
+                        for out, spec in hist_specs.items()
                         if any(o == out and fn == "histogram" for o, fn, _ in norm)
                     },
                 },
@@ -842,21 +843,11 @@ class MaterializedView:
         appends one delta file set per refresh, and read cost degrades
         with delta count).  A compaction commit carries no source
         watermark, so the refresh chain is unaffected."""
-        snap = self.table.current_snapshot()
-        self.table.compact(
-            list(range(snap.num_buckets)),
-            max_records_per_file=max_records_per_file,
-            expected_snapshot_id=snap.snapshot_id,
-        )
+        self.table.compact_all(max_records_per_file)
         for aux in self.aux.values():
-            s = aux.current_snapshot()
             # keep aux base files bounded even when the view compacts
             # unbounded: tight zone maps are what the multiset is FOR
-            aux.compact(
-                list(range(s.num_buckets)),
-                max_records_per_file=max_records_per_file or AUX_FILE_ROWS,
-                expected_snapshot_id=s.snapshot_id,
-            )
+            aux.compact_all(max_records_per_file or AUX_FILE_ROWS)
 
     def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
         """Lake GC over the view AND its exact-extrema auxiliaries (a
@@ -1174,18 +1165,21 @@ class MaterializedView:
         if groups is not None:
             g0 = self.group_cols[0]
             nn = [g for g in groups if g is not None]
-            rows = (
-                aux.read_layout_point_lookup(aux.current_snapshot(), g0, nn)
-                if nn
-                else aux.read().limit(0)
-            )
-            cond = F.col(g0).isin(nn) if nn else F.lit(False)
-            if len(nn) < len(groups):  # caller asked for the null group too
-                cond = cond | F.col(g0).isNull()
-                rows = aux.read() if not nn else rows.unionByName(
-                    aux.read().filter(F.col(g0).isNull())
-                )
-            live = rows.filter(cond).filter(F.col(AUX_N_COL) > 0)
+            if len(nn) < len(groups):
+                # null group wanted: the point lookup is a SUPERSET
+                # projection that may already contain null-group rows
+                # (they share files with looked-up groups), so a union
+                # would rank duplicates — degrade to the filtered full
+                # scan, exactly like _aux_rows_for_groups
+                cond = F.col(g0).isin(nn) if nn else F.lit(False)
+                rows = aux.read().filter(cond | F.col(g0).isNull())
+            elif nn:
+                rows = aux.read_layout_point_lookup(
+                    aux.current_snapshot(), g0, nn
+                ).filter(F.col(g0).isin(nn))
+            else:
+                rows = aux.read().limit(0)
+            live = rows.filter(F.col(AUX_N_COL) > 0)
         else:
             live = aux.read().filter(F.col(AUX_N_COL) > 0)
         w = Window.partitionBy(*self.group_cols).orderBy(
@@ -1229,7 +1223,9 @@ class MaterializedView:
         rides the view's O(changed keys) refresh.  The reference has no
         incremental analog (Solr percentile facets re-scan the rebuilt
         index)."""
+        assert out in self.hist_specs, f"{out!r} is not a histogram agg"
         for name, (num, den) in qs.items():
+            assert isinstance(num, int) and isinstance(den, int), (name, num, den)
             assert 0 < num <= den, (name, num, den)
         gcols = self.group_cols
         rows = self.table.read().select(

@@ -255,12 +255,7 @@ class TableReplica:
         """Fold accumulated sync deltas into a fresh sorted base.
         Compaction commits carry no watermark, so the sync chain is
         unaffected."""
-        snap = self.table.current_snapshot()
-        self.table.compact(
-            list(range(snap.num_buckets)),
-            max_records_per_file=max_records_per_file,
-            expected_snapshot_id=snap.snapshot_id,
-        )
+        self.table.compact_all(max_records_per_file)
 
     def expire_snapshots(self, keep_last: int = 10, dry_run: bool = False) -> dict:
         """Lake GC over the replica (one snapshot accrues per sync).

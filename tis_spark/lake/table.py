@@ -1136,6 +1136,18 @@ class LakeTable:
         finally:
             victims.unpersist()
 
+    def compact_all(self, max_records_per_file: int = 0) -> Snapshot | None:
+        """Snapshot-fenced compaction of every bucket — the maintenance
+        recipe shared by the changelog consumers (materialized views,
+        replicas, derived indexes): fold all accumulated deltas into
+        fresh sorted bases, fenced on the snapshot observed here."""
+        snap = self.current_snapshot()
+        return self.compact(
+            list(range(snap.num_buckets)),
+            max_records_per_file=max_records_per_file,
+            expected_snapshot_id=snap.snapshot_id,
+        )
+
     def compact(
         self,
         buckets: list[int],
