@@ -1194,6 +1194,19 @@ def test_matview_histogram_and_quantiles_track_recompute(spark, tmp_path, monkey
     mv.refresh()
     check()
     assert mv.refresh()["up_to_date"]
+    # group-restricted quantiles (the serving path) equal the full read
+    got_g = {
+        r["grp"]: tuple(r)
+        for r in mv.read_quantile_bins("val_hist", {"p50": (1, 2)}, groups=["x"]).collect()
+    }
+    want_g = {
+        r["grp"]: tuple(r)
+        for r in mv.read_quantile_bins("val_hist", {"p50": (1, 2)})
+        .filter(F.col("grp") == "x")
+        .collect()
+    }
+    assert got_g == want_g and set(got_g) == {"x"}
+    assert mv.read_quantile_bins("val_hist", {"p50": (1, 2)}, groups=[]).count() == 0
     # a reloaded handle keeps the spec (hist_specs round-trips the JSON)
     mv2 = MaterializedView(spark, str(tmp_path / "mv"))
     assert mv2.hist_specs["val_hist"][:3] == (0, 20, 4)

@@ -1208,7 +1208,9 @@ class MaterializedView:
             .withColumn("bin", F.col("bin").cast("long"))
         )
 
-    def read_quantile_bins(self, out: str, qs: dict[str, tuple[int, int]]) -> DataFrame:
+    def read_quantile_bins(
+        self, out: str, qs: dict[str, tuple[int, int]], groups: list | None = None
+    ) -> DataFrame:
         """Per-group quantile BIN INDEXES derived from one maintained
         histogram — ``qs`` maps output name -> (num, den), e.g.
         ``{"p50": (1, 2), "p99": (99, 100)}``.  The q-quantile bin is the
@@ -1220,17 +1222,33 @@ class MaterializedView:
 
         Scale shape: O(groups x n_bins) maintained rows through one
         per-group window — the source is never read; percentile tracking
-        rides the view's O(changed keys) refresh.  The reference has no
-        incremental analog (Solr percentile facets re-scan the rebuilt
-        index)."""
+        rides the view's O(changed keys) refresh.  ``groups`` restricts
+        to specific leading-group values through the view table's bucket
+        + zone-map point lookup (the view is clustered by its leading
+        group column), so "p99 for THIS domain" opens O(wanted groups)
+        files.  The reference has no incremental analog (Solr percentile
+        facets re-scan the rebuilt index)."""
         assert out in self.hist_specs, f"{out!r} is not a histogram agg"
         for name, (num, den) in qs.items():
             assert isinstance(num, int) and isinstance(den, int), (name, num, den)
             assert 0 < num <= den, (name, num, den)
         gcols = self.group_cols
-        rows = self.table.read().select(
-            *gcols, F.posexplode(out).alias("bin", "cnt")
-        )
+        view = self.table.read()
+        if groups is not None:
+            g0 = gcols[0]
+            nn = [g for g in groups if g is not None]
+            if len(nn) < len(groups):
+                # null group wanted: filtered scan (point-lookup supersets
+                # may carry null rows; same policy as read_topk_values)
+                cond = F.col(g0).isin(nn) if nn else F.lit(False)
+                view = view.filter(cond | F.col(g0).isNull())
+            elif nn:
+                view = self.table.read_layout_point_lookup(
+                    self.table.current_snapshot(), g0, nn
+                ).filter(F.col(g0).isin(nn))
+            else:
+                view = view.limit(0)
+        rows = view.select(*gcols, F.posexplode(out).alias("bin", "cnt"))
         wcum = (
             Window.partitionBy(*gcols)
             .orderBy("bin")
