@@ -1083,6 +1083,14 @@ class LakeTable:
         equivalent is a full index rebuild without the rows
         (tis-index-builder).
 
+        Scope: for tables whose downstream consumers follow the
+        CHANGELOG (replicas, derived indexes, materialized views).  The
+        wide-row star engine folds from the STREAM, not the changelog —
+        purging a star CHILD table out-of-band would not re-aggregate
+        the wide rows it feeds; route child deletions through the change
+        stream as D events instead (purging the published WIDE table
+        itself is fine).
+
         The purge does NOT consume a stream epoch id: its commit carries
         ``purge_rows``/``purge_commit`` but no ``epoch_id`` summary, so
         the ingest fence (``last_epoch_id``) is untouched and a stream
