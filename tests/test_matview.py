@@ -1276,3 +1276,102 @@ def test_matview_read_topk_values_group_restricted_is_file_pruned(
     assert sorted(map(tuple, withnull), key=key) == sorted(
         map(tuple, fullnull.collect()), key=key
     )
+
+
+@pytest.mark.slow
+def test_matview_algebra_random_mutations(spark):
+    """Property net over the WHOLE aggregate algebra: random epoch
+    sequences of upserts (incl. null groups and null values), value
+    updates, group moves and deletes, refreshed epoch-by-epoch on a view
+    carrying every agg family (count / sum / avg / var_pop / min / max /
+    histogram), must equal a direct recompute after every epoch.
+    Deterministic generator (seeded PRNG) — same semantic coverage as a
+    hypothesis sweep without its fixture/scoping friction."""
+    import random
+    import tempfile as _tf
+
+    rng = random.Random(20260821)
+    for case in range(4):
+        src_dir = _tf.mkdtemp(prefix="tis-mvprop-src-")
+        mv_dir = _tf.mkdtemp(prefix="tis-mvprop-mv-")
+        src = _mk_source(spark, src_dir)
+        mv = MaterializedView.create(
+            spark,
+            mv_dir,
+            src,
+            ["grp"],
+            {
+                "n_rows": ("count", None),
+                "sum_val": ("sum", "val"),
+                "avg_val": ("avg", "val"),
+                "var_val": ("var_pop", "val"),
+                "min_val": ("min", "val"),
+                "max_val": ("max", "val"),
+                "val_hist": ("histogram", "val"),
+            },
+            hist_specs={"val_hist": (-50, 50, 8)},
+        )
+        model: dict = {}
+        groups = ["a", "b", "c", None]
+        built = False
+        for epoch in range(5):
+            ops: dict = {}
+            for _ in range(rng.randint(1, 8)):  # >=1 op: empty commits are n/a
+                k = f"k{rng.randint(0, 9)}"
+                if model and rng.random() < 0.25:
+                    k = rng.choice(sorted(model))
+                    ops[k] = None  # delete
+                else:
+                    ops[k] = (
+                        rng.choice(groups),
+                        rng.choice([None, rng.randint(-60, 60)]),
+                    )
+            ups = [(k, g, v) for k, gv in ops.items() if gv is not None for g, v in [gv]]
+            dels = [k for k, gv in ops.items() if gv is None and k in model]
+            _apply(spark, src, epoch, ups, deletes=dels)
+            for k, g, v in ups:
+                model[k] = (g, v)
+            for k in dels:
+                model.pop(k, None)
+            if not built:
+                mv.full_build()
+                built = True
+            else:
+                mv.refresh()
+
+            got = {r["grp"]: r for r in mv.read().collect()}
+            want: dict = {}
+            for g, v in model.values():
+                e = want.setdefault(g, {"n": 0, "vals": []})
+                e["n"] += 1
+                if v is not None:
+                    e["vals"].append(v)
+            assert set(got) == set(want), (case, epoch)
+            for g, e in want.items():
+                r = got[g]
+                vals = e["vals"]
+                assert r["n_rows"] == e["n"], (case, epoch, g)
+                if not vals:
+                    for c in ("sum_val", "avg_val", "var_val", "min_val", "max_val"):
+                        assert r[c] is None, (case, epoch, g, c)
+                else:
+                    n = len(vals)
+                    mean = sum(vals) / n
+                    assert r["sum_val"] == sum(vals), (case, epoch, g)
+                    assert r["avg_val"] == pytest.approx(mean, abs=1e-9)
+                    assert r["var_val"] == pytest.approx(
+                        sum((x - mean) ** 2 for x in vals) / n, abs=1e-9
+                    ), (case, epoch, g)
+                    assert r["min_val"] == min(vals) and r["max_val"] == max(vals)
+            hist = {
+                (r["grp"], r["bin"]): r["cnt"]
+                for r in mv.read_histogram("val_hist").collect()
+            }
+            want_hist: dict = {}
+            for g, v in model.values():
+                if v is None:
+                    continue
+                b = min(max(((v + 50) * 8) // 100, 0), 7)
+                want_hist[(g, b)] = want_hist.get((g, b), 0) + 1
+            assert hist == want_hist, (case, epoch)
+        assert mv.refresh()["up_to_date"]
