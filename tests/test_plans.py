@@ -228,3 +228,64 @@ def test_ann_probe_broadcasts_the_batch_and_keeps_vectors_off_shuffles(spark):
     for seg in p.split("Exchange")[1:]:
         head = seg.split("\n")[0]
         assert "embedding" not in head, f"vectors entered a shuffle:\n{head}"
+
+
+def test_delete_where_victim_scan_is_column_pruned(spark, tmp_path):
+    """The purge's victim read must reach parquet with only the key,
+    layout and predicate columns in its ReadSchema — purging a wide
+    webtext table by domain must not read html/text blobs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tis_spark.lake.table import COMMIT_COL, DEAD_COL, LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("domain", T.StringType()),
+            T.StructField("html", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key_cols=["url"], version_col="score")
+    rows = spark.createDataFrame(
+        [(f"u{i}", f"d{i % 3}.com", "<html>" * 50, "body " * 50, i) for i in range(30)],
+        schema,
+    )
+    t.commit(
+        t.write_data_files(
+            rows.withColumn(COMMIT_COL, F.lit(0).cast("long"))
+            .withColumn(DEAD_COL, F.lit(False))
+            .withColumn("_bucket", t.bucket_expr()),
+            kind="delta",
+        ),
+        summary={"epoch_id": 0},
+    )
+    snap = t.current_snapshot()
+    keep = set(snap.key_cols) | {LakeTable.layout_key(snap)}
+    victims = (
+        t.read(snapshot_id=snap.snapshot_id)
+        .filter(F.col("domain") == "d1.com")
+        .select(
+            *[
+                F.col(f.name) if f.name in keep
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in snap.schema.fields
+            ]
+        )
+    )
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    buf = _io.StringIO()
+    with _rs(buf):
+        victims.explain("formatted")
+    p = buf.getvalue()
+    read_schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, p
+    for ln in read_schemas:
+        assert "html" not in ln and "text" not in ln, ln
+    # and the real call deletes exactly the matching rows
+    assert t.delete_where(F.col("domain") == "d1.com")["deleted_rows"] == 10
+    assert t.read().filter(F.col("domain") == "d1.com").count() == 0
